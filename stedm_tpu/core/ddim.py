@@ -1,0 +1,144 @@
+"""DDIM sampling as a single `lax.scan`, TPU-native.
+
+The reference's sampler is a python loop over steps with **two** full U-Net forwards
+per step for classifier-free guidance (reference `ldm/models/diffusion/ddim.py:112-210`;
+the batched variant was left commented out at `ddim.py:173-176`). Here the whole
+trajectory is one scanned, jitted program, and the model wrapper batches cond+uncond
+into a single call (see `stedm_tpu/models/stedm.py`) — the sampler itself only sees an
+``eps_fn``.
+
+Guidance uses the reference's *rescaled* CFG (ddim.py:179-184): the guided noise is
+renormalized to the conditional branch's standard deviation computed over the
+(channel, height) axes with Bessel's correction — exactly the torch
+``std(dim=(1,2))`` over NCHW — then blended with ``rescale_phi``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stedm_tpu.core.schedules import (
+    DiffusionSchedule,
+    make_ddim_sampling_parameters,
+    make_ddim_timesteps,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMParams:
+    """Per-step DDIM constants, index 0 = lowest-noise step (reference ddim.py:24-53)."""
+
+    timesteps: jnp.ndarray               # [S] int32 DDPM timestep fed to the model
+    alphas: jnp.ndarray                  # [S] alpha_cumprod at each step
+    alphas_prev: jnp.ndarray             # [S]
+    sigmas: jnp.ndarray                  # [S]
+    sqrt_one_minus_alphas: jnp.ndarray   # [S]
+
+    @classmethod
+    def create(cls, schedule: DiffusionSchedule, num_steps: int, eta: float = 0.0,
+               method: str = "uniform") -> "DDIMParams":
+        ddim_ts = make_ddim_timesteps(method, num_steps, schedule.num_timesteps)
+        alphacums = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+        sigmas, alphas, alphas_prev = make_ddim_sampling_parameters(alphacums, ddim_ts, eta)
+        f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+        return cls(
+            timesteps=jnp.asarray(ddim_ts, dtype=jnp.int32),
+            alphas=f32(alphas),
+            alphas_prev=f32(alphas_prev),
+            sigmas=f32(sigmas),
+            sqrt_one_minus_alphas=f32(np.sqrt(1.0 - alphas)),
+        )
+
+    @property
+    def num_steps(self) -> int:
+        return int(self.timesteps.shape[0])
+
+
+def rescaled_cfg(e_t: jnp.ndarray, e_t_uncond: jnp.ndarray, scale: float,
+                 rescale_phi: float = 0.7) -> jnp.ndarray:
+    """Rescaled classifier-free guidance (reference ddim.py:179-184).
+
+    Inputs are NHWC; the reference computes torch ``std(dim=(1,2))`` on NCHW —
+    i.e. over the (channel, height) axes with Bessel's correction — which maps to
+    axes (1, 3) here.
+    """
+    e_t = e_t.astype(jnp.float32)
+    e_t_uncond = e_t_uncond.astype(jnp.float32)
+    e_t_w = e_t_uncond + scale * (e_t - e_t_uncond)
+    axes = (1, 3)
+    std_c = jnp.std(e_t, axis=axes, keepdims=True, ddof=1)
+    std_w = jnp.std(e_t_w, axis=axes, keepdims=True, ddof=1)
+    rescaled = e_t_w * (std_c / std_w)
+    return rescaled * rescale_phi + (1.0 - rescale_phi) * e_t
+
+
+def ddim_step(x: jnp.ndarray, e_t: jnp.ndarray, a_t: jnp.ndarray, a_prev: jnp.ndarray,
+              sigma_t: jnp.ndarray, sqrt_one_minus_at: jnp.ndarray,
+              noise: jnp.ndarray | None = None,
+              temperature: float = 1.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One DDIM update x_t -> x_{t-1} (reference ddim.py:200-210)."""
+    x = x.astype(jnp.float32)
+    e_t = e_t.astype(jnp.float32)
+    pred_x0 = (x - sqrt_one_minus_at * e_t) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma_t ** 2) * e_t
+    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt
+    if noise is not None:
+        x_prev = x_prev + sigma_t * noise * temperature
+    return x_prev, pred_x0
+
+
+def ddim_sample(eps_fn: Callable, x_T: jnp.ndarray, params: DDIMParams, *,
+                cfg_scale: float = 1.0, rescale_phi: float = 0.7,
+                rng: jax.Array | None = None,
+                temperature: float = 1.0) -> jnp.ndarray:
+    """Run the full DDIM trajectory as one `lax.scan` (reference ddim.py:112-162).
+
+    ``eps_fn(x, t)`` returns the model's eps prediction for a [B, H, W, C] latent and
+    a [B] int32 timestep batch. When ``cfg_scale != 1`` it must instead return the
+    pair ``(e_t_cond, e_t_uncond)`` — how the two branches are evaluated (one batched
+    call vs. two calls) is the model wrapper's choice.
+
+    ``rng`` is only needed for eta > 0 (the active config uses eta = 0, see
+    configs/config_predict.yaml).
+    """
+    use_cfg = cfg_scale != 1.0
+    steps = params.num_steps
+    batch = x_T.shape[0]
+
+    if rng is not None:
+        step_keys = jax.random.split(rng, steps)
+    else:
+        step_keys = jnp.zeros((steps, 2), dtype=jnp.uint32)
+    stochastic = rng is not None
+
+    # scan runs from the highest-noise step (index S-1) down to index 0
+    order = jnp.arange(steps - 1, -1, -1)
+    xs = (
+        params.timesteps[order],
+        params.alphas[order],
+        params.alphas_prev[order],
+        params.sigmas[order],
+        params.sqrt_one_minus_alphas[order],
+        step_keys,
+    )
+
+    def body(x, per_step):
+        step_t, a_t, a_prev, sigma_t, sq1m, key = per_step
+        ts = jnp.full((batch,), step_t, dtype=jnp.int32)
+        out = eps_fn(x, ts)
+        if use_cfg:
+            e_t = rescaled_cfg(out[0], out[1], cfg_scale, rescale_phi)
+        else:
+            e_t = out[0] if isinstance(out, tuple) else out
+        noise = jax.random.normal(key, x.shape, dtype=jnp.float32) if stochastic else None
+        x_prev, _ = ddim_step(x, e_t, a_t, a_prev, sigma_t, sq1m,
+                              noise=noise, temperature=temperature)
+        return x_prev, ()
+
+    x_0, _ = jax.lax.scan(body, x_T.astype(jnp.float32), xs)
+    return x_0
