@@ -1,0 +1,94 @@
+"""Shared NN building blocks (NHWC, mixed precision).
+
+Precision policy: parameters live in float32; compute runs in ``dtype`` (bfloat16 on
+TPU); GroupNorm statistics are always computed in float32, mirroring the reference's
+``GroupNorm32`` (reference `ldm/modules/diffusionmodules/util.py:214-216`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       max_period: int = 10000) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, cos-first ordering
+    (reference diffusionmodules/util.py:151-171)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class GroupNorm32(nn.Module):
+    """32-group GroupNorm with float32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                         dtype=jnp.float32, name="norm")(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+def conv3x3(features: int, *, name: str | None = None, zero_init: bool = False,
+            stride: int = 1, dtype: Dtype = jnp.float32) -> nn.Conv:
+    init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, kernel_size=(3, 3), strides=(stride, stride),
+                   padding=((1, 1), (1, 1)), kernel_init=init, dtype=dtype, name=name)
+
+
+def conv1x1(features: int, *, name: str | None = None, zero_init: bool = False,
+            use_bias: bool = True, dtype: Dtype = jnp.float32) -> nn.Conv:
+    init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(features, kernel_size=(1, 1), kernel_init=init, use_bias=use_bias,
+                   dtype=dtype, name=name)
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + optional 3x3 conv (reference openaimodel.py:104-132)."""
+
+    use_conv: bool = True
+    out_channels: int | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = upsample_nearest_2x(x)
+        if self.use_conv:
+            x = conv3x3(self.out_channels or x.shape[-1], dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (or 2x2 avgpool) downsample (reference openaimodel.py:147-173)."""
+
+    use_conv: bool = True
+    out_channels: int | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_conv:
+            return conv3x3(self.out_channels or x.shape[-1], stride=2,
+                           dtype=self.dtype, name="op")(x)
+        assert self.out_channels in (None, x.shape[-1])
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))

@@ -1,0 +1,202 @@
+"""The STEDM denoising U-Net in Flax (NHWC, bf16-friendly).
+
+Faithful to the reference's *effective* architecture (reference
+`ldm/modules/diffusionmodules/openaimodel.py:435-806`, shipped config
+`conf/diffusion/unet_config/landscape.yaml`; SURVEY.md §2.5):
+
+* conv-in, then per level ``num_res_blocks`` ResBlocks; stride-2 conv downsample
+  between levels; mirrored decoder with skip concatenation and nearest-2x upsample;
+* the bottleneck is ResBlock -> **ResBlockStyle** -> self-AttentionBlock -> ResBlock,
+  where ResBlockStyle injects the 512-d style vector additively through the same
+  FiLM-free pathway a timestep embedding uses (openaimodel.py:291-297, 627-661);
+* timestep: sinusoidal(model_channels) -> MLP -> 4*model_channels
+  (openaimodel.py:529-534);
+* zero-initialized output convs (``zero_module``, openaimodel.py:732).
+
+Deviations, both deliberate (SURVEY.md Q2/Q6):
+
+* encoder/decoder `attention_resolutions` entries get a *working* self-attention (or
+  SpatialTransformer) block here — in the reference those branches are dead under all
+  shipped configs and would crash if reached (openaimodel.py:580-590, 689-708). The
+  shipped `landscape.yaml` (ds ∈ {1,2,4}, attention_resolutions [32,16,8]) never
+  triggers them, so parameter parity with the reference holds exactly.
+* ``use_spatial_transformer`` swaps the bottleneck self-attention for cross-attention
+  over the style token (the Q2 config-selectable path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stedm_tpu.models.attention import AttentionBlock, SpatialTransformer
+from stedm_tpu.models.layers import (
+    Downsample,
+    GroupNorm32,
+    Upsample,
+    conv1x1,
+    conv3x3,
+    timestep_embedding,
+)
+
+Dtype = Any
+
+
+class ResBlock(nn.Module):
+    """Residual block with additive (or scale-shift) embedding injection
+    (reference openaimodel.py:176-288)."""
+
+    out_channels: int | None = None
+    dropout: float = 0.0
+    use_conv: bool = False            # 3x3 skip instead of 1x1 when channels change
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        ch = x.shape[-1]
+        out_ch = self.out_channels or ch
+
+        h = nn.silu(GroupNorm32(dtype=self.dtype, name="in_norm")(x))
+        if self.up:
+            h = Upsample(use_conv=False, dtype=self.dtype)(h)
+            x = Upsample(use_conv=False, dtype=self.dtype)(x)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
+
+        emb_width = 2 * out_ch if self.use_scale_shift_norm else out_ch
+        emb_out = nn.Dense(emb_width, dtype=self.dtype, name="emb")(
+            nn.silu(emb.astype(self.dtype)))
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+            h = GroupNorm32(dtype=self.dtype, name="out_norm")(h) * (1 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out[:, None, None, :]
+            h = nn.silu(GroupNorm32(dtype=self.dtype, name="out_norm")(h))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = conv3x3(out_ch, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+
+        if out_ch == ch:
+            skip = x
+        elif self.use_conv:
+            skip = conv3x3(out_ch, dtype=self.dtype, name="skip")(x)
+        else:
+            skip = conv1x1(out_ch, dtype=self.dtype, name="skip")(x)
+        return skip + h
+
+
+class UNet(nn.Module):
+    """Style- and layout-conditioned denoising U-Net (see module docstring)."""
+
+    image_size: int = 128
+    in_channels: int = 6
+    model_channels: int = 128
+    out_channels: int = 3
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (32, 16, 8)
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 4, 8)
+    conv_resample: bool = True
+    num_heads: int = 8
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    context_dim: int = 512
+    use_spatial_transformer: bool = False
+    transformer_depth: int = 1
+    dtype: Dtype = jnp.float32
+
+    def _heads(self, ch: int) -> tuple[int, int]:
+        if self.num_head_channels == -1:
+            return self.num_heads, ch // self.num_heads
+        return ch // self.num_head_channels, self.num_head_channels
+
+    def _attn(self, ch: int, name: str):
+        heads, dim_head = self._heads(ch)
+        if self.use_spatial_transformer:
+            return SpatialTransformer(heads=heads, dim_head=dim_head,
+                                      depth=self.transformer_depth,
+                                      dropout=self.dropout, dtype=self.dtype, name=name)
+        return AttentionBlock(num_heads=heads, dtype=self.dtype, name=name)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 context: jnp.ndarray | None = None, train: bool = False) -> jnp.ndarray:
+        in_dtype = x.dtype
+        x = x.astype(self.dtype)
+        mc = self.model_channels
+        time_embed_dim = mc * 4
+
+        t_emb = timestep_embedding(timesteps, mc)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(
+            t_emb.astype(self.dtype))
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+
+        def res(out_ch, name, **kw):
+            return ResBlock(out_channels=out_ch, dropout=self.dropout,
+                            use_scale_shift_norm=self.use_scale_shift_norm,
+                            dtype=self.dtype, name=name, **kw)
+
+        # ---- encoder -------------------------------------------------------
+        hs = []
+        h = conv3x3(mc, dtype=self.dtype, name="input_blocks_0_0")(x)
+        hs.append(h)
+        ds = 1
+        block_idx = 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                h = res(mult * mc, f"input_blocks_{block_idx}_0")(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = self._attn(h.shape[-1], f"input_blocks_{block_idx}_1")(h)
+                hs.append(h)
+                block_idx += 1
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = res(h.shape[-1], f"input_blocks_{block_idx}_0", down=True)(h, emb, train)
+                else:
+                    h = Downsample(use_conv=self.conv_resample, dtype=self.dtype,
+                                   name=f"input_blocks_{block_idx}_0")(h)
+                hs.append(h)
+                ds *= 2
+                block_idx += 1
+
+        # ---- bottleneck: ResBlock -> ResBlockStyle -> attention -> ResBlock -
+        ch = h.shape[-1]
+        h = res(ch, "middle_block_0")(h, emb, train)
+        if context is None:
+            context = jnp.zeros((x.shape[0], self.context_dim), dtype=self.dtype)
+        # ResBlockStyle: the style vector rides the embedding pathway
+        # (reference openaimodel.py:291-297, 636-643)
+        h = res(ch, "middle_block_1")(h, context.astype(self.dtype), train)
+        h = self._attn(ch, "middle_block_2")(h)
+        h = res(ch, "middle_block_3")(h, emb, train)
+
+        # ---- decoder ---------------------------------------------------------
+        block_idx = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = res(mult * mc, f"output_blocks_{block_idx}_0")(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = self._attn(h.shape[-1], f"output_blocks_{block_idx}_1")(h)
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = res(h.shape[-1], f"output_blocks_{block_idx}_up", up=True)(h, emb, train)
+                    else:
+                        h = Upsample(use_conv=self.conv_resample, dtype=self.dtype,
+                                     name=f"output_blocks_{block_idx}_up")(h)
+                    ds //= 2
+                block_idx += 1
+
+        h = nn.silu(GroupNorm32(dtype=self.dtype, name="out_norm")(h))
+        h = conv3x3(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+        return h.astype(in_dtype)
