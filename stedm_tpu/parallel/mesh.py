@@ -1,0 +1,67 @@
+"""Device mesh construction and sharding policy.
+
+The reference's only distribution strategy is Lightning DDP over NCCL/Gloo
+(reference `train_diff.py:75`, SURVEY.md §2.8) with all collectives implicit. The
+TPU-native equivalent: a `jax.sharding.Mesh` with a ``data`` axis; batches are
+sharded over it, parameters are replicated, and the gradient all-reduce is inserted
+by XLA when the jitted train step is given these shardings — riding ICI within a
+slice and DCN across hosts.
+
+Reference semantics reproduced explicitly by callers:
+* lr scaled by total batch (= per-device batch x data-parallel size,
+  reference train_diff.py:36-39),
+* gradient accumulation x4 (train_diff.py:76) via `optax.MultiSteps`,
+* predict-time sharding of the generation grid across devices
+  (reference predict_diff.py:84-89) by sharding the sample batch on ``data``.
+
+Multi-host: call :func:`maybe_initialize_distributed` before building the mesh.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize multi-host JAX when a cluster environment is present."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def build_mesh(spec: dict[str, int] | None = None) -> Mesh:
+    """Build a mesh from an ``{axis: size}`` spec; size -1 takes all remaining
+    devices. Default: 1-D data parallelism over every device."""
+    spec = dict(spec or {"data": -1})
+    devices = np.array(jax.devices())
+    total = devices.size
+    fixed = int(np.prod([s for s in spec.values() if s > 0])) if spec else 1
+    sizes = []
+    for axis, size in spec.items():
+        if size == -1:
+            size = total // max(fixed, 1)
+        sizes.append(size)
+    assert int(np.prod(sizes)) <= total, f"mesh {spec} needs more than {total} devices"
+    used = int(np.prod(sizes))
+    mesh_devices = devices[:used].reshape(sizes)
+    return Mesh(mesh_devices, tuple(spec.keys()))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a host batch pytree with its leading axis sharded over ``axis``."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,57 @@
+"""Optimizer construction with the reference's trainability policy.
+
+AdamW at a flat lr (reference `modules/ldm_diffusion.py:224-233`: no scheduler on the
+active path, SURVEY.md §2.4 "LR schedulers dead"). Trainable groups: the U-Net, the
+cond stage (SpatialRescaler), and — governed by ``style_encoder_trainable`` — the
+style branch. The frozen VQ first stage receives zero updates. ``set_to_zero`` (not
+masking) keeps the param tree structure intact for checkpointing.
+
+SURVEY.md Q1: the reference *accidentally* leaves the style encoder out of the
+optimizer (`ldm_diffusion.py:230-231` checks for a module name that never exists);
+``style_encoder_trainable=False`` reproduces that for parity runs, the default trains
+it as the paper intends.
+
+The reference's lr rule (train_diff.py:36-39): lr = base_lr * batch_base * batch_mul
+* n_devices; gradient accumulation x4 via `optax.MultiSteps` mirrors
+``accumulate_grad_batches=4`` (train_diff.py:76).
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def scaled_lr(base_lr: float, batch_base: int, batch_mul: int, n_devices: int,
+              lr_override: float | None = None) -> float:
+    if lr_override is not None:
+        return float(lr_override)
+    return float(base_lr) * batch_base * batch_mul * n_devices
+
+
+def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
+                   accumulate_grad_batches: int = 1,
+                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+    """AdamW over trainable groups; frozen groups get zero updates.
+
+    Expects the STEDM param tree's top-level keys: unet / cond_stage / agg /
+    first_stage.
+    """
+
+    def label(params) -> dict:
+        labels = {}
+        for key in params:
+            if key == "first_stage":
+                labels[key] = "frozen"
+            elif key == "agg":
+                labels[key] = "train" if style_encoder_trainable else "frozen"
+            else:
+                labels[key] = "train"
+        return labels
+
+    tx = optax.multi_transform(
+        {"train": optax.adamw(lr, weight_decay=weight_decay),
+         "frozen": optax.set_to_zero()},
+        label)
+    if accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
+    return tx

@@ -1,0 +1,162 @@
+"""Pure, jittable train and sample steps for the diffusion model.
+
+These compose the composite model (`stedm_tpu/models/stedm.py`) with the schedule
+math (`stedm_tpu/core/`) into the functions the entry points jit over the device
+mesh. Reference call stacks being reproduced: the training step
+(`SURVEY.md §3.1`: get_input -> q_sample -> U-Net -> L1 + EMA) and the predict step
+(`§3.2`: conditioning -> DDIM loop with CFG -> VQ decode).
+
+TPU-first details:
+* cond/uncond CFG branches run as ONE batched U-Net call (the optimization the
+  reference left commented out, reference ddim.py:173-176); a two-call parity mode
+  is kept behind ``batched_cfg=False``.
+* the DDIM loop is a `lax.scan` inside the jitted sampler — no host round-trips.
+* under a data-sharded batch + replicated params, XLA inserts the gradient
+  all-reduce over ICI (the DDP equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from stedm_tpu.core.ddim import DDIMParams, ddim_sample
+from stedm_tpu.core.diffusion import p_losses
+from stedm_tpu.core.schedules import DiffusionSchedule
+from stedm_tpu.models.stedm import STEDM
+from stedm_tpu.train.ema import ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any          # shadow of the denoiser (reference: LitEma over the
+    ema_updates: jnp.ndarray  # DiffusionWrapper only, ddpm.py:91-94)
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(lambda x: x, params["unet"]),
+        ema_updates=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(model: STEDM, schedule: DiffusionSchedule,
+                    tx: optax.GradientTransformation, *,
+                    loss_type: str = "l1", use_ema: bool = True) -> Callable:
+    """Build the jittable train step.
+
+    ``batch``: dict with image [B,P,P,3], segmentation [B,P,P,2] one-hot,
+    style_imgs [B,N,P,P,3] (style-drop already applied on the host side, matching
+    the reference's dataset-side drop, flowers_ds.py:62-63).
+    """
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_t, rng_noise = jax.random.split(rng)
+
+        def loss_fn(params):
+            var = {"params": params}
+            z = model.apply(var, batch["image"], method=model.encode_first_stage)
+            seg_cond = model.apply(var, batch["segmentation"], method=model.cond_encode)
+            style = model.apply(var, batch["style_imgs"], True,
+                                method=model.style_encode)
+            t = jax.random.randint(rng_t, (z.shape[0],), 0, schedule.num_timesteps)
+            noise = jax.random.normal(rng_noise, z.shape, dtype=jnp.float32)
+
+            def eps_fn(z_noisy, t_):
+                return model.apply(var, z_noisy, t_, seg_cond, style, True,
+                                   method=model.eps)
+
+            loss, aux = p_losses(eps_fn, schedule, z, t, noise, loss_type=loss_type)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if use_ema:
+            # every micro-batch, like the reference (ldm_diffusion.py:114-115)
+            ema_params, ema_updates = ema_update(state.ema_params, params["unet"],
+                                                 state.ema_updates)
+        else:
+            ema_params, ema_updates = state.ema_params, state.ema_updates
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, ema_params=ema_params,
+                               ema_updates=ema_updates)
+        metrics = {"loss": loss, "loss_simple": aux["loss_simple"],
+                   "loss_vlb": aux["loss_vlb"]}
+        return new_state, metrics
+
+    return train_step
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    ddim_steps: int = 128
+    eta: float = 0.0
+    cfg_scale: float = 1.5
+    rescale_phi: float = 0.7
+    batched_cfg: bool = True
+    use_cfg: bool = True          # False when cfg_scale==1 or style_sampling==none
+    latent_channels: int = 3
+    downsample: int = 4           # VQ-f4
+
+
+def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
+                   cfg: SamplerConfig) -> Callable:
+    """Build the jittable synthetic-pair sampler (reference predict_step,
+    modules/ldm_diffusion.py:76-107).
+
+    Returns images in [-1, 1], [B,P,P,3]. The uncond branch uses the same layout
+    with dropped (constant -2) style images (ldm_diffusion.py:86).
+    """
+    ddim = DDIMParams.create(schedule, cfg.ddim_steps, cfg.eta)
+    use_cfg = cfg.use_cfg and cfg.cfg_scale != 1.0
+
+    def sample(params, batch: dict, rng: jax.Array) -> jnp.ndarray:
+        var = {"params": params}
+        seg = batch["segmentation"]
+        b, p = seg.shape[0], seg.shape[1]
+        seg_cond = model.apply(var, seg, method=model.cond_encode)
+        style_c = model.apply(var, batch["style_imgs"], method=model.style_encode)
+
+        latent = (b, p // cfg.downsample, p // cfg.downsample, cfg.latent_channels)
+        x_T = jax.random.normal(rng, latent, dtype=jnp.float32)
+
+        if not use_cfg:
+            def eps_fn(x, t):
+                return model.apply(var, x, t, seg_cond, style_c, method=model.eps)
+        else:
+            style_u = model.apply(var, jnp.zeros_like(batch["style_imgs"]) - 2.0,
+                                  method=model.style_encode)
+            if cfg.batched_cfg:
+                seg2 = jnp.concatenate([seg_cond, seg_cond])
+                ctx2 = jnp.concatenate([style_c, style_u])
+
+                def eps_fn(x, t):
+                    e = model.apply(var, jnp.concatenate([x, x]),
+                                    jnp.concatenate([t, t]), seg2, ctx2,
+                                    method=model.eps)
+                    return e[:b], e[b:]
+            else:
+                def eps_fn(x, t):
+                    e_c = model.apply(var, x, t, seg_cond, style_c, method=model.eps)
+                    e_u = model.apply(var, x, t, seg_cond, style_u, method=model.eps)
+                    return e_c, e_u
+
+        z_0 = ddim_sample(eps_fn, x_T, ddim,
+                          cfg_scale=cfg.cfg_scale if use_cfg else 1.0,
+                          rescale_phi=cfg.rescale_phi)
+        img = model.apply(var, z_0, method=model.decode_first_stage)
+        return jnp.clip(img, -1.0, 1.0)
+
+    return sample
