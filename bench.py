@@ -1,0 +1,123 @@
+"""Benchmark: 256^2 DDIM-50 CFG sampling throughput, images/sec/chip.
+
+Runs the flagship (landscape-config) STEDM sampler on the attached TPU chip:
+50 scanned DDIM steps with batched cond/uncond classifier-free guidance
+(2 U-Net evaluations/step fused into one call) + one VQ-f4 decode per image,
+bf16 compute. Prints ONE JSON line.
+
+``vs_baseline`` is measured throughput divided by an analytic A100 estimate
+(BASELINE.md: the reference repo publishes no numbers, so the A100 bound is
+FLOPs-derived): per-image FLOPs are taken from XLA's cost analysis of the same
+jitted programs, and the A100 reference rate assumes 312 TFLOP/s dense bf16 at 40%
+MFU — generous for the reference's unfused eager pipeline with two separate U-Net
+calls per step (reference ddim.py:177-178).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+PATCH = 256
+STEPS = 50
+A100_BF16_FLOPS = 312e12
+A100_MFU = 0.40
+
+
+def main() -> None:
+    from stedm_tpu.core.ddim import DDIMParams
+    from stedm_tpu.core.schedules import DiffusionSchedule
+    from stedm_tpu.models.stedm import STEDM
+    from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
+
+    model = STEDM(
+        unet_config=dict(in_channels=6, out_channels=3, model_channels=128,
+                         num_res_blocks=2, channel_mult=(1, 4, 8), num_heads=8,
+                         attention_resolutions=(32, 16, 8)),
+        first_stage_config=dict(embed_dim=3, n_embed=8192, ddconfig=dict(
+            double_z=False, z_channels=3, resolution=PATCH, in_channels=3, out_ch=3,
+            ch=128, ch_mult=[1, 2, 4], num_res_blocks=2, attn_resolutions=[],
+            dropout=0.0)),
+        cond_stage_config=dict(n_stages=2, in_channels=2, out_channels=3),
+        style_agg="mean",
+        style_sampling="nearby",
+        patch_size=PATCH,
+        dtype=jnp.bfloat16,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "segmentation": jnp.zeros((BATCH, PATCH, PATCH, 2), jnp.float32).at[..., 0].set(1.0),
+        "style_imgs": jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (BATCH, 1, PATCH, PATCH, 3)),
+            jnp.float32),
+    }
+    init_img = jnp.zeros((BATCH, PATCH, PATCH, 3), jnp.float32)
+    params = model.init(rng, init_img, batch["segmentation"], batch["style_imgs"],
+                        jnp.zeros((BATCH,), jnp.int32))["params"]
+    # zero-init output convs would NaN the CFG rescale on an untrained model
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.005 if p.ndim == 4 else p, params)
+
+    schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
+    scfg = SamplerConfig(ddim_steps=STEPS, eta=0.0, cfg_scale=1.5, rescale_phi=0.7,
+                         batched_cfg=True, downsample=4)
+    sample = jax.jit(make_sample_fn(model, schedule, scfg))
+
+    # warmup / compile
+    img = sample(params, batch, rng)
+    img.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        img = sample(params, batch, jax.random.fold_in(rng, i))
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    imgs_per_sec = BATCH * n_iters / dt
+
+    # analytic A100 baseline. XLA cost_analysis counts a scan body ONCE, so cost
+    # the per-step eps call and the decode separately and scale by step count.
+    def _flops(fn, *args) -> float:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+
+    try:
+        var = {"params": params}
+        seg_cond = jax.jit(lambda v, s: model.apply(v, s, method=model.cond_encode))(
+            var, batch["segmentation"])
+        style = jax.jit(lambda v, s: model.apply(v, s, method=model.style_encode))(
+            var, batch["style_imgs"])
+        z = jnp.zeros((BATCH, PATCH // 4, PATCH // 4, 3), jnp.float32)
+        t = jnp.zeros((2 * BATCH,), jnp.int32)
+        eps_flops = _flops(
+            lambda v, x, t_, sc, st: model.apply(
+                v, jnp.concatenate([x, x]), t_, jnp.concatenate([sc, sc]),
+                jnp.concatenate([st, st]), method=model.eps),
+            var, z, t, seg_cond, style)
+        dec_flops = _flops(
+            lambda v, x: model.apply(v, x, method=model.decode_first_stage), var, z)
+        flops_per_image = (STEPS * eps_flops + dec_flops) / BATCH
+        baseline = A100_BF16_FLOPS * A100_MFU / flops_per_image
+    except Exception:
+        # fallback: hand-estimated ~0.17 TFLOPs/U-Net pass x 100 passes + decode
+        baseline = A100_BF16_FLOPS * A100_MFU / (0.17e12 * 2 * STEPS + 0.4e12)
+    vs_baseline = imgs_per_sec / baseline
+
+    print(json.dumps({
+        "metric": "256x256 DDIM-50 CFG sampling throughput",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

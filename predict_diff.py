@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Generate synthetic (image, segmentation) pairs with DDIM + rescaled CFG.
+
+TPU rebuild of the reference entry point (reference `predict_diff.py:34-92`):
+* loads a trained checkpoint non-strictly (reference :46-48),
+* writes ``img_NNNNN.png`` / ``seg_NNNNN.png`` pairs under
+  ``data_dir/syn_data/<name>`` (reference :51-57, ldm_diffusion.py:94-107),
+* doubles ``cfg.data.samples`` (reference :62),
+* shards the generation grid across devices (the DDP predict-sampler equivalent,
+  reference :84-89) by sharding the sample batch over the mesh's data axis.
+
+The sampler is a jitted `lax.scan` with the cond/uncond CFG branches batched into a
+single U-Net call (configs/config_predict.yaml `batched_cfg`).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from stedm_tpu.config import compose
+from stedm_tpu.core.schedules import DiffusionSchedule
+from stedm_tpu.data.dm import DataModule
+from stedm_tpu.models.stedm import build_stedm
+from stedm_tpu.parallel.mesh import (
+    batch_sharding,
+    build_mesh,
+    maybe_initialize_distributed,
+    replicated,
+    shard_batch,
+)
+from stedm_tpu.train import checkpoints
+from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
+from train_diff import batch_to_ldm
+
+
+def main(argv: list[str]) -> None:
+    cfg = compose("config_predict", argv)
+    maybe_initialize_distributed()
+
+    if cfg.data.batch_size is None:
+        cfg.data.batch_size = cfg.data.batch_base * cfg.location.batch_mul
+    mesh = build_mesh(dict(cfg.location.mesh))
+    n_devices = mesh.devices.size
+    global_batch = cfg.data.batch_size * n_devices
+
+    # double the sample budget (reference predict_diff.py:62)
+    cfg.data.samples = cfg.data.samples * 2
+
+    ckpt_name = cfg.get("ckpt_name")
+    run_name = ckpt_name or \
+        f"diff_{cfg.data.name}_{cfg.style_sampling.name}_{cfg.style_agg.name}"
+    predict_dir = Path(cfg.location.data_dir) / "syn_data" / cfg.get(
+        "predict_name", cfg.data.name)
+    predict_dir.mkdir(parents=True, exist_ok=True)
+
+    dm = DataModule(cfg)
+    if jax.process_index() == 0:
+        dm.prepare_data()
+    dm.setup()
+
+    model = build_stedm(cfg)
+    p = cfg.data.patch_size
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, p, p, 3)),
+                        jnp.zeros((1, p, p, 2)),
+                        jnp.zeros((1, model.num_style_patches, p, p, 3)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+    ckpt_path = cfg.get("ckpt_path") or \
+        f"{cfg.location.result_dir}/{run_name}/ckpt/{run_name}_last"
+    state_like = {"params": params}
+    try:
+        restored = checkpoints.restore_params(ckpt_path + "/params", params)
+        params = restored
+    except Exception:
+        # full-state checkpoint: pull the params subtree non-strictly
+        from stedm_tpu.train.optim import make_optimizer
+        from stedm_tpu.train.steps import create_train_state
+
+        tx = make_optimizer(1e-4)
+        state = create_train_state(params, tx)
+        state = checkpoints.restore(Path(ckpt_path).parent, state,
+                                    name=Path(ckpt_path).name)
+        params = state.params
+    del state_like
+
+    schedule = DiffusionSchedule.create(
+        cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
+        cfg.diffusion.linear_start, cfg.diffusion.linear_end)
+    use_cfg = (cfg.cfg_scale != 1) and (cfg.style_sampling.name != "none")
+    sampler_cfg = SamplerConfig(
+        ddim_steps=cfg.ddim_steps, eta=cfg.eta, cfg_scale=cfg.cfg_scale,
+        rescale_phi=cfg.get("rescale_phi", 0.7),
+        batched_cfg=cfg.get("batched_cfg", True), use_cfg=use_cfg, downsample=4)
+
+    rep = replicated(mesh)
+    dp = batch_sharding(mesh)
+    params = jax.device_put(params, rep)
+    sample = jax.jit(make_sample_fn(model, schedule, sampler_cfg),
+                     in_shardings=(rep, dp, None), out_shardings=dp)
+
+    loader = dm.predict_loader()
+    loader.batch_size = global_batch
+    loader.drop_last = False
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    for batch_idx, np_batch in enumerate(loader):
+        ldm_batch = batch_to_ldm(np_batch)
+        indices = np.asarray(np_batch[4])
+        b = ldm_batch["image"].shape[0]
+        if b % n_devices:  # pad ragged final batch for even sharding
+            pad = n_devices - b % n_devices
+            ldm_batch = {k: np.concatenate([v, v[:pad]]) for k, v in ldm_batch.items()}
+        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in ldm_batch.items()
+                                   if k != "image"})
+        imgs = sample(params, batch, jax.random.fold_in(rng, batch_idx))
+        imgs = np.asarray(jax.device_get(imgs))[:b]
+        segs = np.argmax(ldm_batch["segmentation"][:b], axis=-1).astype(np.uint8)
+        for img, seg, num in zip(imgs, segs, indices):
+            num_str = str(int(num)).zfill(5)
+            img_u8 = ((img + 1) * 127.5).astype(np.uint8)
+            Image.fromarray(img_u8).save(predict_dir / f"img_{num_str}.png")
+            Image.fromarray(seg).save(predict_dir / f"seg_{num_str}.png")
+        print(f"batch {batch_idx}: wrote {b} pairs to {predict_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

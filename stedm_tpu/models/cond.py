@@ -33,9 +33,14 @@ class SpatialRescaler(nn.Module):
             self.method, self.method)
         for _ in range(self.n_stages):
             b, h, w, c = x.shape
-            new = (b, int(h * self.multiplier), int(w * self.multiplier), c)
-            # torch F.interpolate(align_corners=False) == jax.image.resize(linear)
-            x = jax.image.resize(x.astype(jnp.float32), new, method=method)
+            if method == "linear" and self.multiplier == 0.5:
+                # torch bilinear 0.5x (align_corners=False, antialias=False) samples
+                # exactly between pixel pairs == 2x2 average pooling; jax.image.resize
+                # would antialias and diverge from the reference
+                x = nn.avg_pool(x.astype(jnp.float32), (2, 2), strides=(2, 2))
+            else:
+                new = (b, int(h * self.multiplier), int(w * self.multiplier), c)
+                x = jax.image.resize(x.astype(jnp.float32), new, method=method)
         x = x.astype(self.dtype)
         if self.out_channels is not None:
             x = nn.Conv(self.out_channels, (1, 1), use_bias=self.bias,

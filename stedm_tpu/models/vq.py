@@ -189,12 +189,14 @@ class VectorQuantizer(nn.Module):
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        # taming init: uniform in [-1/n_embed, 1/n_embed]; stored directly so torch
+        # codebooks import 1:1
+        bound = 1.0 / self.n_embed
         codebook = self.param(
             "embedding",
-            nn.initializers.uniform(scale=2.0 / self.n_embed),
+            lambda key, shape: jax.random.uniform(key, shape, minval=-bound,
+                                                  maxval=bound),
             (self.n_embed, self.embed_dim))
-        # the uniform init range in taming is [-1/n, 1/n]; shift accordingly
-        codebook = codebook - 1.0 / self.n_embed
 
         flat = z.reshape(-1, self.embed_dim).astype(jnp.float32)
         # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e ; argmin over codebook

@@ -45,7 +45,9 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        ema_params=jax.tree_util.tree_map(lambda x: x, params["unet"]),
+        # real copies, not aliases: the train step donates its input state and XLA
+        # rejects the same buffer appearing twice
+        ema_params=jax.tree_util.tree_map(jnp.copy, params["unet"]),
         ema_updates=jnp.zeros((), jnp.int32),
     )
 

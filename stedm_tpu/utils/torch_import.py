@@ -1,0 +1,306 @@
+"""Torch-checkpoint importer: map reference state_dicts into our param trees.
+
+Needed for parity acceptance (SURVEY.md §7 step 10): load the reference's
+CompVis-lineage checkpoints (vq-f4.ckpt, landscape.ckpt, trained STEDM runs) and
+compare trajectories. Handles the two torch module families on the active path:
+
+* the LDM/OpenAI U-Net (reference `ldm/modules/diffusionmodules/openaimodel.py`),
+  key roots ``model.diffusion_model.`` (+ ``model_ema.`` shadow ignored),
+* the VQGAN-f4 codec (reference `ldm/modules/diffusionmodules/model.py` +
+  taming quantizer), key root ``first_stage_model.`` (or bare for vq-f4.ckpt),
+* the cond-stage SpatialRescaler 1x1 conv.
+
+Weight layout conversions: conv OIHW -> HWIO, 1x1/conv1d -> dense-like transposes,
+norm weight/bias -> scale/bias. Orbax directories pass through unchanged.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str | Path) -> dict[str, np.ndarray]:
+    import torch
+
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items() if hasattr(v, "shape")}
+
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_w(w: np.ndarray) -> np.ndarray:
+    """[out, in] -> [in, out]."""
+    return np.transpose(w)
+
+
+def _conv1d_w(w: np.ndarray) -> np.ndarray:
+    """[out, in, 1] -> [in, out] (our attention qkv/proj are Dense)."""
+    return np.transpose(w[:, :, 0])
+
+
+def _set(tree: dict, path: str, value: np.ndarray) -> None:
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _resblock_entries(prefix_t: str, prefix_j: str, sd: dict, out: dict) -> None:
+    """Map one torch ResBlock (openaimodel.py:176-288) to our ResBlock names."""
+    m = {
+        "in_layers.0.weight": ("in_norm/norm/scale", None),
+        "in_layers.0.bias": ("in_norm/norm/bias", None),
+        "in_layers.2.weight": ("in_conv/kernel", _conv_w),
+        "in_layers.2.bias": ("in_conv/bias", None),
+        "emb_layers.1.weight": ("emb/kernel", _dense_w),
+        "emb_layers.1.bias": ("emb/bias", None),
+        "out_layers.0.weight": ("out_norm/norm/scale", None),
+        "out_layers.0.bias": ("out_norm/norm/bias", None),
+        "out_layers.3.weight": ("out_conv/kernel", _conv_w),
+        "out_layers.3.bias": ("out_conv/bias", None),
+        "skip_connection.weight": ("skip/kernel", _conv_w),
+        "skip_connection.bias": ("skip/bias", None),
+    }
+    for tkey, (jkey, fn) in m.items():
+        full = prefix_t + tkey
+        if full in sd:
+            v = sd[full]
+            _set(out, f"{prefix_j}/{jkey}", fn(v) if fn else v)
+
+
+def _attnblock_entries(prefix_t: str, prefix_j: str, sd: dict, out: dict) -> None:
+    """Map one torch AttentionBlock (openaimodel.py:300-346)."""
+    m = {
+        "norm.weight": ("norm/norm/scale", None),
+        "norm.bias": ("norm/norm/bias", None),
+        "qkv.weight": ("qkv/kernel", _conv1d_w),
+        "qkv.bias": ("qkv/bias", None),
+        "proj_out.weight": ("proj_out/kernel", _conv1d_w),
+        "proj_out.bias": ("proj_out/bias", None),
+    }
+    for tkey, (jkey, fn) in m.items():
+        full = prefix_t + tkey
+        if full in sd:
+            v = sd[full]
+            _set(out, f"{prefix_j}/{jkey}", fn(v) if fn else v)
+
+
+def map_unet(sd: dict[str, np.ndarray], root: str = "model.diffusion_model.") -> dict:
+    """Map the torch U-Net state_dict to our UNet param tree (nested dict)."""
+    sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    # time embed MLP
+    for i in (0, 2):
+        if f"time_embed.{i}.weight" in sd:
+            _set(out, f"time_embed_{i}/kernel", _dense_w(sd[f"time_embed.{i}.weight"]))
+            _set(out, f"time_embed_{i}/bias", sd[f"time_embed.{i}.bias"])
+    # conv-in
+    if "input_blocks.0.0.weight" in sd:
+        _set(out, "input_blocks_0_0/kernel", _conv_w(sd["input_blocks.0.0.weight"]))
+        _set(out, "input_blocks_0_0/bias", sd["input_blocks.0.0.bias"])
+    # encoder blocks: ResBlocks at .0, downsample convs at .0.op
+    idx = 1
+    while any(k.startswith(f"input_blocks.{idx}.") for k in sd):
+        if f"input_blocks.{idx}.0.op.weight" in sd:  # Downsample
+            _set(out, f"input_blocks_{idx}_0/op/kernel",
+                 _conv_w(sd[f"input_blocks.{idx}.0.op.weight"]))
+            _set(out, f"input_blocks_{idx}_0/op/bias",
+                 sd[f"input_blocks.{idx}.0.op.bias"])
+        else:
+            _resblock_entries(f"input_blocks.{idx}.0.", f"input_blocks_{idx}_0", sd, out)
+        idx += 1
+    # middle: ResBlock, ResBlockStyle (nested .block.), Attention, ResBlock
+    _resblock_entries("middle_block.0.", "middle_block_0", sd, out)
+    _resblock_entries("middle_block.1.block.", "middle_block_1", sd, out)
+    _attnblock_entries("middle_block.2.", "middle_block_2", sd, out)
+    _resblock_entries("middle_block.3.", "middle_block_3", sd, out)
+    # decoder blocks: ResBlock at .0, Upsample conv at .1 (last block per level)
+    idx = 0
+    while any(k.startswith(f"output_blocks.{idx}.") for k in sd):
+        _resblock_entries(f"output_blocks.{idx}.0.", f"output_blocks_{idx}_0", sd, out)
+        if f"output_blocks.{idx}.1.conv.weight" in sd:
+            _set(out, f"output_blocks_{idx}_up/conv/kernel",
+                 _conv_w(sd[f"output_blocks.{idx}.1.conv.weight"]))
+            _set(out, f"output_blocks_{idx}_up/conv/bias",
+                 sd[f"output_blocks.{idx}.1.conv.bias"])
+        idx += 1
+    # output head
+    if "out.0.weight" in sd:
+        _set(out, "out_norm/norm/scale", sd["out.0.weight"])
+        _set(out, "out_norm/norm/bias", sd["out.0.bias"])
+        _set(out, "out_conv/kernel", _conv_w(sd["out.2.weight"]))
+        _set(out, "out_conv/bias", sd["out.2.bias"])
+    return out
+
+
+def _vq_resnet(prefix_t: str, prefix_j: str, sd: dict, out: dict) -> None:
+    m = {
+        "norm1.weight": ("norm1/norm/scale", None),
+        "norm1.bias": ("norm1/norm/bias", None),
+        "conv1.weight": ("conv1/kernel", _conv_w),
+        "conv1.bias": ("conv1/bias", None),
+        "norm2.weight": ("norm2/norm/scale", None),
+        "norm2.bias": ("norm2/norm/bias", None),
+        "conv2.weight": ("conv2/kernel", _conv_w),
+        "conv2.bias": ("conv2/bias", None),
+        "nin_shortcut.weight": ("nin_shortcut/kernel", _conv_w),
+        "nin_shortcut.bias": ("nin_shortcut/bias", None),
+    }
+    for tkey, (jkey, fn) in m.items():
+        full = prefix_t + tkey
+        if full in sd:
+            v = sd[full]
+            _set(out, f"{prefix_j}/{jkey}", fn(v) if fn else v)
+
+
+def _vq_attn(prefix_t: str, prefix_j: str, sd: dict, out: dict) -> None:
+    for name in ("q", "k", "v", "proj_out"):
+        if f"{prefix_t}{name}.weight" in sd:
+            _set(out, f"{prefix_j}/{name}/kernel", _conv_w(sd[f"{prefix_t}{name}.weight"]))
+            _set(out, f"{prefix_j}/{name}/bias", sd[f"{prefix_t}{name}.bias"])
+    if f"{prefix_t}norm.weight" in sd:
+        _set(out, f"{prefix_j}/norm/norm/scale", sd[f"{prefix_t}norm.weight"])
+        _set(out, f"{prefix_j}/norm/norm/bias", sd[f"{prefix_t}norm.bias"])
+
+
+def map_vq(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """Map a VQModel state_dict (taming lineage) to our VQModelInterface tree.
+    Accepts both bare vq-f4.ckpt keys and ``first_stage_model.``-rooted keys."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    for side in ("encoder", "decoder"):
+        pre = f"{side}."
+        if f"{pre}conv_in.weight" in sd:
+            _set(out, f"{side}/conv_in/kernel", _conv_w(sd[f"{pre}conv_in.weight"]))
+            _set(out, f"{side}/conv_in/bias", sd[f"{pre}conv_in.bias"])
+            _set(out, f"{side}/norm_out/norm/scale", sd[f"{pre}norm_out.weight"])
+            _set(out, f"{side}/norm_out/norm/bias", sd[f"{pre}norm_out.bias"])
+            _set(out, f"{side}/conv_out/kernel", _conv_w(sd[f"{pre}conv_out.weight"]))
+            _set(out, f"{side}/conv_out/bias", sd[f"{pre}conv_out.bias"])
+            for mid in ("block_1", "block_2"):
+                _vq_resnet(f"{pre}mid.{mid}.", f"{side}/mid_{mid}", sd, out)
+            _vq_attn(f"{pre}mid.attn_1.", f"{side}/mid_attn_1", sd, out)
+    # encoder down / decoder up level blocks
+    for lvl in range(16):
+        for blk in range(8):
+            _vq_resnet(f"encoder.down.{lvl}.block.{blk}.",
+                       f"encoder/down_{lvl}_block_{blk}", sd, out)
+            _vq_resnet(f"decoder.up.{lvl}.block.{blk}.",
+                       f"decoder/up_{lvl}_block_{blk}", sd, out)
+        if f"encoder.down.{lvl}.downsample.conv.weight" in sd:
+            _set(out, f"encoder/down_{lvl}_downsample/conv/kernel",
+                 _conv_w(sd[f"encoder.down.{lvl}.downsample.conv.weight"]))
+            _set(out, f"encoder/down_{lvl}_downsample/conv/bias",
+                 sd[f"encoder.down.{lvl}.downsample.conv.bias"])
+        if f"decoder.up.{lvl}.upsample.conv.weight" in sd:
+            _set(out, f"decoder/up_{lvl}_upsample/conv/kernel",
+                 _conv_w(sd[f"decoder.up.{lvl}.upsample.conv.weight"]))
+            _set(out, f"decoder/up_{lvl}_upsample/conv/bias",
+                 sd[f"decoder.up.{lvl}.upsample.conv.bias"])
+    if "quantize.embedding.weight" in sd:
+        _set(out, "quantize/embedding", sd["quantize.embedding.weight"])
+    for qc in ("quant_conv", "post_quant_conv"):
+        if f"{qc}.weight" in sd:
+            _set(out, f"{qc}/kernel", _conv_w(sd[f"{qc}.weight"]))
+            _set(out, f"{qc}/bias", sd[f"{qc}.bias"])
+    return out
+
+
+def map_cond_stage(sd: dict[str, np.ndarray]) -> dict:
+    out: dict = {}
+    key = "cond_stage_model.channel_mapper.weight"
+    if key in sd:
+        _set(out, "channel_mapper/kernel", _conv_w(sd[key]))
+    return out
+
+
+def map_full_ldm(sd: dict[str, np.ndarray]) -> dict:
+    """Map a full reference LDM_Diffusion/S_ZSS_DM checkpoint into our STEDM tree
+    (unet / first_stage / cond_stage). The style branch (agg/swin) is torchvision-
+    random-initialized in the reference and is not mapped."""
+    # entry-point checkpoints prefix everything with "model." (LDM_Diffusion
+    # registers S_ZSS_DM as "model", modules/ldm_diffusion.py:41)
+    if any(k.startswith("model.model.diffusion_model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    out: dict = {}
+    out["unet"] = map_unet(sd)
+    out["first_stage"] = map_vq(sd, root="first_stage_model.")
+    cond = map_cond_stage(sd)
+    if cond:
+        out["cond_stage"] = cond
+    return out
+
+
+def merge_loaded(params: Any, loaded: dict, *, subtree: str | None = None,
+                 ignore_keys: list[str] = ()) -> Any:
+    """Overlay ``loaded`` (nested dict of arrays) onto ``params`` where paths and
+    shapes match; everything else keeps its initialized value (the non-strict /
+    filtered load of reference ddpm.py:189-205)."""
+    import jax
+
+    def path_str(path) -> str:
+        return "/".join(str(getattr(k, "key", k)) for k in path)
+
+    flat = {path_str(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    stats = {"loaded": 0, "skipped": 0}
+
+    def merge(path, leaf):
+        name = path_str(path)
+        lookup = name if subtree is None else \
+            (name[len(subtree) + 1:] if name.startswith(subtree + "/") else None)
+        if lookup is None:
+            return leaf
+        if any(ik and ik in name for ik in ignore_keys):
+            return leaf
+        if lookup in flat and flat[lookup].shape == tuple(leaf.shape):
+            stats["loaded"] += 1
+            return flat[lookup].astype(leaf.dtype)
+        stats["skipped"] += 1
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(merge, params)
+    print(f"[torch_import] merged {stats['loaded']} tensors "
+          f"({stats['skipped']} left at init)")
+    return merged
+
+
+def load_into_params(params: Any, path: str, *, subtree: str | None = None,
+                     ignore_keys: list[str] = ()) -> Any:
+    """Load a checkpoint file into a param tree.
+
+    Torch ``.ckpt``/``.pt`` files are key-mapped; directories are treated as orbax
+    checkpoints of the same tree (restored strictly).
+    """
+    p = Path(path)
+    if p.is_dir():
+        from stedm_tpu.train import checkpoints
+
+        return checkpoints.restore_params(p, params)
+    sd = load_torch_state_dict(p)
+    if subtree == "first_stage":
+        root = "first_stage_model." if any(
+            k.startswith("first_stage_model.") for k in sd) else ""
+        loaded = map_vq(sd, root=root)
+    elif subtree == "unet":
+        root = "model.diffusion_model." if any(
+            k.startswith("model.diffusion_model.") for k in sd) else \
+            "model.model.diffusion_model."
+        loaded = map_unet(sd, root=root)
+    else:
+        loaded = map_full_ldm(sd)
+    return merge_loaded(params, loaded, subtree=subtree, ignore_keys=ignore_keys)

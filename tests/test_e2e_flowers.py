@@ -1,0 +1,129 @@
+"""End-to-end smoke over the real entry points on generated tiny Flowers data:
+train_diff (2 steps) -> predict_diff writes img/seg pairs -> syn dataset loads them.
+
+Mirrors the reference's three-command workflow (README.md:34-51) at toy scale.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+@pytest.fixture(scope="module")
+def flowers_dir(tmp_path_factory):
+    """Write a miniature Flowers-102 tree: imgs/, segs/, imagelabels.mat, setid.mat."""
+    import scipy.io
+
+    root = tmp_path_factory.mktemp("data")
+    base = root / "flowers"
+    (base / "imgs").mkdir(parents=True)
+    (base / "segs").mkdir(parents=True)
+
+    rng = np.random.default_rng(0)
+    n = 24
+    labels = np.array([(i % 6) + 1 for i in range(n)])  # classes 1..6 (1-based)
+    train_ids, val_ids, test_ids = [], [], []
+    for i in range(n):
+        img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        seg = np.zeros((40, 40, 3), dtype=np.uint8)
+        seg[:, :, 2] = 255  # blue background
+        seg[10:30, 10:30] = [200, 200, 0]  # foreground blob
+        Image.fromarray(img).save(base / "imgs" / f"image_{str(i + 1).zfill(5)}.jpg")
+        Image.fromarray(seg).save(base / "segs" / f"segmim_{str(i + 1).zfill(5)}.jpg")
+        (train_ids if i % 3 == 0 else val_ids if i % 3 == 1 else test_ids).append(i + 1)
+
+    scipy.io.savemat(base / "imagelabels.mat", {"labels": labels[None]})
+    scipy.io.savemat(base / "setid.mat",
+                     {"trnid": np.array(train_ids)[None],
+                      "valid": np.array(val_ids)[None],
+                      "tstid": np.array(test_ids)[None]})
+    return root
+
+
+TINY_OVERRIDES = [
+    "data.patch_size=32",
+    "data.samples=4",
+    "data.batch_size=2",
+    "data.class_train_samples=2",
+    "num_epochs=1",
+    "lr=1e-4",
+    "location=pc",
+    "style_sampling=augmented",
+    "style_agg=mean",
+    # tiny model
+    "diffusion.unet_config.params.model_channels=32",
+    "diffusion.unet_config.params.num_res_blocks=1",
+    "diffusion.unet_config.params.channel_mult=[1,2]",
+    "diffusion.unet_config.params.num_heads=4",
+    "diffusion.first_stage_config.params.ddconfig.ch=32",
+    "diffusion.first_stage_config.params.ddconfig.num_res_blocks=1",
+    "diffusion.first_stage_config.params.n_embed=64",
+    # shrink the swin backbone via mean agg (full swin is too slow for smoke)
+]
+# the class lists must cover all 102 bins (reference flowers_dm.py:106-113 raises
+# for any unassigned class)
+_UNANNO = str(list(range(3, 102))).replace(" ", "")
+CLASS_OVERRIDES = [
+    "data/dataset=[flowers_anno,flowers_unanno]",
+    "data.ratios=[1.0,1.0]",
+    "data.dataset.flowers_anno.train_classes=[0,1,2]",
+    f"data.dataset.flowers_anno.unanno_classes={_UNANNO}",
+    "data.dataset.flowers_unanno.train_classes=[0,1,2]",
+    f"data.dataset.flowers_unanno.unanno_classes={_UNANNO}",
+]
+
+
+def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
+    import train_diff as td
+    import predict_diff as pd
+
+    result_dir = tmp_path / "results"
+    overrides = TINY_OVERRIDES + CLASS_OVERRIDES + [
+        f"location.data_dir={flowers_dir}",
+        f"location.result_dir={result_dir}",
+        "accumulate_grad_batches=1",
+    ]
+
+    td.main(overrides)
+
+    run_name = "diff_flowers_augmented_mean"
+    ckpt = result_dir / run_name / "ckpt" / f"{run_name}_last"
+    assert ckpt.is_dir(), f"checkpoint not written: {ckpt}"
+    events = result_dir / run_name / "events.jsonl"
+    assert events.is_file() and "Train Loss" in events.read_text()
+
+    pd.main(overrides + ["data.samples=1", "ddim_steps=4", "cfg_scale=1.5"])
+
+    syn_dir = flowers_dir / "syn_data" / "flowers"
+    imgs = sorted(syn_dir.glob("img_*.png"))
+    segs = sorted(syn_dir.glob("seg_*.png"))
+    assert len(imgs) >= 2 and len(segs) == len(imgs)
+    arr = np.array(Image.open(imgs[0]))
+    assert arr.shape == (32, 32, 3)
+    seg_arr = np.array(Image.open(segs[0]))
+    assert set(np.unique(seg_arr)) <= {0, 1}
+
+    # generated pairs round-trip through the syn data module
+    from stedm_tpu.config import compose
+    from stedm_tpu.data.dm import DataModule
+
+    syn_cfg = compose("config_seg", [
+        "data.patch_size=32", "data.samples=4", "data.batch_size=2",
+        "location=pc", f"location.data_dir={flowers_dir}",
+        f"location.result_dir={result_dir}",
+        "data/dataset=[flowers_syn]", "data.ratios=[1.0]",
+    ], config_dir=ROOT / "configs")
+    dm = DataModule(syn_cfg)
+    dm.setup()
+    batch = next(iter(dm.train_loader()))
+    img_b, one_hot_b, seg_b, style_b = batch[:4]
+    assert img_b.shape == (2, 32, 32, 3)
+    assert one_hot_b.shape == (2, 32, 32, 2)
+    assert float(np.abs(img_b).max()) <= 1.0

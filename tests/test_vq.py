@@ -46,8 +46,7 @@ def test_quantizer_picks_nearest_code():
     q = VectorQuantizer(n_embed=4, embed_dim=2)
     variables = q.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 2, 2)))
     codebook = jnp.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
-    # account for the centering shift applied inside the module
-    variables = {"params": {"embedding": codebook + 1.0 / 4}}
+    variables = {"params": {"embedding": codebook}}
     z = jnp.array([[[[0.1, -0.1], [0.9, 0.2]],
                     [[-0.2, 0.8], [1.2, 1.1]]]])
     z_q = q.apply(variables, z)

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Train the style- and layout-conditioned latent diffusion model.
+
+TPU rebuild of the reference entry point (reference `train_diff.py:34-81`):
+* per-device batch = batch_base * batch_mul; lr = base_lr * batch * n_devices
+  (reference :36-39),
+* data parallelism over a `jax.sharding.Mesh` (the DDPStrategy equivalent,
+  reference :75) — batch sharded on the ``data`` axis, params replicated, gradient
+  all-reduce inserted by XLA,
+* gradient accumulation x4 (reference :76) inside the optimizer,
+* keep-last checkpointing per epoch (monitor "epoch"/max, reference :64-66),
+* epoch-end preview sampling from the fixed test folder when present
+  (reference modules/ldm_diffusion.py:128-221).
+
+Usage (same override surface as the reference README):
+    python train_diff.py data=flowers style_sampling=augmented style_agg=mean \
+        location.data_dir=/data location.result_dir=/results
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stedm_tpu.config import compose
+from stedm_tpu.core.schedules import DiffusionSchedule
+from stedm_tpu.data.dm import DataModule
+from stedm_tpu.models.stedm import build_stedm
+from stedm_tpu.parallel.mesh import (
+    batch_sharding,
+    build_mesh,
+    maybe_initialize_distributed,
+    replicated,
+    shard_batch,
+)
+from stedm_tpu.train import checkpoints
+from stedm_tpu.train.optim import make_optimizer, scaled_lr
+from stedm_tpu.train.steps import create_train_state, make_sample_fn, make_train_step
+from stedm_tpu.train.steps import SamplerConfig
+from stedm_tpu.utils.logging import EventLogger
+
+
+def batch_to_ldm(np_batch: tuple) -> dict:
+    """Collapse the C-class one-hot to 2 channels (BG vs any-FG) and build the LDM
+    batch dict (reference modules/ldm_diffusion.py:51-60)."""
+    img, one_hot, _seg, style = np_batch[:4]
+    fg = one_hot[..., 1:].sum(axis=-1, keepdims=True)
+    seg2 = np.concatenate([one_hot[..., :1], fg], axis=-1)
+    return {"image": img, "segmentation": seg2.astype(np.float32),
+            "style_imgs": style}
+
+
+def main(argv: list[str]) -> None:
+    cfg = compose("config_diff", argv)
+    maybe_initialize_distributed()
+
+    # derived values (reference train_diff.py:36-39)
+    if cfg.data.batch_size is None:
+        cfg.data.batch_size = cfg.data.batch_base * cfg.location.batch_mul
+    mesh = build_mesh(dict(cfg.location.mesh))
+    n_devices = mesh.devices.size
+    lr = scaled_lr(cfg.base_lr, cfg.data.batch_base, cfg.location.batch_mul,
+                   n_devices, cfg.lr)
+    global_batch = cfg.data.batch_size * n_devices
+
+    run_name = f"{cfg.name}_{cfg.data.name}_{cfg.style_sampling.name}_{cfg.style_agg.name}"
+    result_dir = f"{cfg.location.result_dir}/{run_name}"
+    logger = EventLogger(result_dir, run_name, use_wandb=cfg.location.get("wandb", False),
+                         config=dict(cfg))
+    print(f"devices={n_devices} global_batch={global_batch} lr={lr:.3e}")
+
+    # data
+    dm = DataModule(cfg)
+    if jax.process_index() == 0:
+        dm.prepare_data()
+    dm.setup()
+
+    # model + state
+    model = build_stedm(cfg)
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    p = cfg.data.patch_size
+    init_batch = {"image": jnp.zeros((1, p, p, 3)),
+                  "segmentation": jnp.zeros((1, p, p, 2)),
+                  "style_imgs": jnp.zeros((1, model.num_style_patches, p, p, 3))}
+    params = model.init(rng, init_batch["image"], init_batch["segmentation"],
+                        init_batch["style_imgs"], jnp.zeros((1,), jnp.int32))["params"]
+
+    # optional warm starts (reference ldm_based.yaml ckpt_path / vq-f4 ckpt_path)
+    fs_ckpt = cfg.diffusion.first_stage_config.params.get("ckpt_path")
+    if fs_ckpt:
+        from stedm_tpu.utils.torch_import import load_into_params
+
+        params = load_into_params(params, f"{cfg.location.result_dir}/{fs_ckpt}",
+                                  subtree="first_stage")
+    unet_ckpt = cfg.diffusion.get("ckpt_path")
+    if unet_ckpt:
+        from stedm_tpu.utils.torch_import import load_into_params
+
+        params = load_into_params(
+            params, f"{cfg.location.result_dir}/{unet_ckpt}",
+            subtree="unet" if cfg.diffusion.get("load_only_unet", True) else None,
+            ignore_keys=list(cfg.diffusion.get("ignore_keys", [])))
+
+    schedule = DiffusionSchedule.create(
+        cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
+        cfg.diffusion.linear_start, cfg.diffusion.linear_end)
+    tx = make_optimizer(
+        lr, style_encoder_trainable=cfg.diffusion.get("style_encoder_trainable", True),
+        accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4))
+    state = create_train_state(params, tx)
+
+    rep = replicated(mesh)
+    dp = batch_sharding(mesh)
+    state = jax.device_put(state, rep)
+    train_step = jax.jit(make_train_step(model, schedule, tx,
+                                         loss_type=cfg.diffusion.get("loss_type", "l1")),
+                         in_shardings=(rep, dp, rep), out_shardings=rep, donate_argnums=0)
+
+    loader = dm.train_loader(seed=cfg.get("seed", 0))
+    loader.batch_size = global_batch
+    step_rng = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
+
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        losses = []
+        for np_batch in loader:
+            batch = shard_batch(mesh, batch_to_ldm(np_batch))
+            state, metrics = train_step(state, batch, step_rng)
+            losses.append(metrics["loss"])
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        logger.log({"Train Loss": train_loss, "epoch": epoch,
+                    "epoch_time_s": time.time() - t0}, step=int(state.step))
+
+        if jax.process_index() == 0:
+            checkpoints.save(result_dir + "/ckpt",
+                             jax.device_get(state), name=f"{run_name}_last")
+
+        preview_previews(cfg, model, schedule, state, logger, epoch)
+
+    logger.close()
+
+
+def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
+    """Epoch-end fixed-style previews (reference ldm_diffusion.py:128-221), gated on
+    the test folder existing on disk."""
+    import os
+
+    test_folder = cfg.data.get("test_folder")
+    if not test_folder:
+        return
+    folder = f"{cfg.location.data_dir}/{test_folder}"
+    if not os.path.isdir(folder):
+        return
+    from PIL import Image
+
+    p = cfg.data.patch_size
+    cond_path = f"{folder}/test_c.png"
+    if not os.path.isfile(cond_path):
+        return
+    test_img = np.array(Image.open(cond_path).convert("L"))
+    test_img = (test_img > 0).astype(np.int64)
+    one_hot = np.eye(2, dtype=np.float32)[test_img][None]
+
+    style_dir = f"{folder}/{cfg.style_sampling.name}"
+    styles = []
+    for i in range(4):
+        f = f"{style_dir}/{i}_img.png"
+        if os.path.isfile(f):
+            arr = np.array(Image.open(f))[:, :, :3].astype(np.float32) / 127.5 - 1
+            styles.append(arr[None, None])
+    if not styles:
+        return
+
+    sample = jax.jit(make_sample_fn(model, schedule, SamplerConfig(
+        ddim_steps=128, eta=0.0, cfg_scale=1.0, use_cfg=False, downsample=4)))
+    imgs = []
+    for style in styles:
+        batch = {"segmentation": jnp.asarray(one_hot),
+                 "style_imgs": jnp.asarray(style)}
+        img = sample(state.params, batch, jax.random.PRNGKey(epoch))
+        imgs.append(np.asarray(img[0]))
+    logger.log_images("Sample Images", imgs, step=epoch)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
