@@ -16,7 +16,9 @@ pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
                                 reason="reference checkout not mounted")
 
 if REFERENCE.exists():
-    sys.path.insert(0, str(REFERENCE))
+    # append (not prepend): the reference also ships train_diff.py etc. which must
+    # not shadow this repo's entry points during the test session
+    sys.path.append(str(REFERENCE))
 
 
 @pytest.fixture(scope="module")
