@@ -77,22 +77,27 @@ class DataModule:
         return ConcatDataset([getattr(dm, attr)() for dm in self._data_modules.values()
                               if len(getattr(dm, attr)()) > 0])
 
-    def _loader(self, dataset, *, shuffle: bool, seed: int = 0) -> Loader:
+    def _loader(self, dataset, *, shuffle: bool, seed: int = 0,
+                drop_last: bool = True) -> Loader:
         return Loader(dataset, self._batch_size, shuffle=shuffle,
                       num_workers=self._n_workers,
-                      prefetch=self._cfg.location.get("prefetch", 2), seed=seed)
+                      prefetch=self._cfg.location.get("prefetch", 2), seed=seed,
+                      drop_last=drop_last)
 
     def train_loader(self, seed: int = 0) -> Loader:
         return self._loader(self._concat("train_dataset"), shuffle=True, seed=seed)
 
     def val_loader(self) -> Loader:
-        return self._loader(self._concat("val_dataset"), shuffle=False)
+        return self._loader(self._concat("val_dataset"), shuffle=False,
+                            drop_last=False)
 
     def test_loader(self) -> Loader:
-        return self._loader(self._concat("test_dataset"), shuffle=False)
+        return self._loader(self._concat("test_dataset"), shuffle=False,
+                            drop_last=False)
 
     def predict_loader(self) -> Loader:
         names = list(self._cfg.data.dataset.keys())
         img_ds = self._data_modules[names[0]].predict_dataset()
         style_ds = self._data_modules[names[1]].predict_dataset()
-        return self._loader(PredictDataset(img_ds, style_ds), shuffle=False)
+        return self._loader(PredictDataset(img_ds, style_ds), shuffle=False,
+                            drop_last=False)
