@@ -1,0 +1,177 @@
+"""Whole-slide-image access layer.
+
+The reference reads WSIs through openslide-python (reference
+`data/her2/her2_utils.py:177-208` ``wsi_sample``, `her2_ds.py:96-110` tissue masks).
+This module reproduces that surface with two backends:
+
+* **OpenSlide** (C libopenslide) when importable — the production path for
+  .svs/.tiff pyramids,
+* **ArraySlide**, a pure-python pyramid over a plain image file or numpy array —
+  keeps the entire WSI pipeline testable in environments without libopenslide and
+  doubles as the reader for non-pyramidal formats.
+
+Both expose the openslide subset the datasets use: ``read_region(location, level,
+size)`` (RGBA, location in level-0 coords), ``level_downsamples``,
+``level_dimensions``, ``dimensions``, ``close()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:  # pragma: no cover - exercised only where libopenslide exists
+    from openslide import OpenSlide as _OpenSlide
+
+    HAVE_OPENSLIDE = True
+except Exception:  # pragma: no cover
+    _OpenSlide = None
+    HAVE_OPENSLIDE = False
+
+
+def downscale_local_mean(image: np.ndarray, factors: tuple, cval: float = 0.0) -> np.ndarray:
+    """Block-mean downscaling with edge padding (skimage equivalent)."""
+    factors = tuple(int(f) for f in factors)
+    pads = []
+    for dim, f in zip(image.shape, factors):
+        rem = dim % f
+        pads.append((0, (f - rem) % f))
+    pads += [(0, 0)] * (image.ndim - len(factors))
+    padded = np.pad(image, pads, mode="constant", constant_values=cval)
+    shape = []
+    for dim, f in zip(padded.shape, factors):
+        shape += [dim // f, f]
+    shape += list(padded.shape[len(factors):])
+    reshaped = padded.reshape(shape)
+    axes = tuple(2 * i + 1 for i in range(len(factors)))
+    return reshaped.astype(np.float64).mean(axis=axes)
+
+
+def block_reduce_median(image: np.ndarray, block: int) -> np.ndarray:
+    """Median over non-overlapping blocks (skimage block_reduce(func=median))."""
+    h, w = image.shape
+    ph, pw = (block - h % block) % block, (block - w % block) % block
+    padded = np.pad(image, ((0, ph), (0, pw)), mode="constant")
+    bh, bw = padded.shape[0] // block, padded.shape[1] // block
+    blocks = padded.reshape(bh, block, bw, block).transpose(0, 2, 1, 3)
+    return np.median(blocks.reshape(bh, bw, -1), axis=-1).astype(image.dtype)
+
+
+class ArraySlide:
+    """Pyramid over an in-memory array / plain image file (openslide-compatible)."""
+
+    def __init__(self, source, levels: int = 4):
+        if isinstance(source, np.ndarray):
+            base = source
+        else:
+            from PIL import Image
+
+            Image.MAX_IMAGE_PIXELS = None
+            base = np.array(Image.open(source).convert("RGB"))
+        self._levels = [base]
+        for _ in range(levels - 1):
+            prev = self._levels[-1]
+            if min(prev.shape[:2]) < 2:
+                break
+            self._levels.append(
+                downscale_local_mean(prev, (2, 2), cval=255).astype(np.uint8))
+
+    @property
+    def dimensions(self) -> tuple[int, int]:
+        h, w = self._levels[0].shape[:2]
+        return (w, h)  # openslide is (width, height)
+
+    @property
+    def level_dimensions(self):
+        return [(lvl.shape[1], lvl.shape[0]) for lvl in self._levels]
+
+    @property
+    def level_downsamples(self):
+        return [2.0 ** i for i in range(len(self._levels))]
+
+    def read_region(self, location, level, size) -> np.ndarray:
+        """RGBA patch; ``location`` is (x, y) in level-0 coords, alpha=0 padding."""
+        x0, y0 = int(location[0]), int(location[1])
+        w, h = int(size[0]), int(size[1])
+        ds = int(self.level_downsamples[level])
+        lx, ly = x0 // ds, y0 // ds
+        lvl = self._levels[level]
+        out = np.zeros((h, w, 4), dtype=np.uint8)
+        src_y0, src_x0 = max(ly, 0), max(lx, 0)
+        src_y1 = min(ly + h, lvl.shape[0])
+        src_x1 = min(lx + w, lvl.shape[1])
+        if src_y1 > src_y0 and src_x1 > src_x0:
+            dy, dx = src_y0 - ly, src_x0 - lx
+            crop = lvl[src_y0:src_y1, src_x0:src_x1]
+            out[dy:dy + crop.shape[0], dx:dx + crop.shape[1], :3] = crop
+            out[dy:dy + crop.shape[0], dx:dx + crop.shape[1], 3] = 255
+        return out
+
+    def close(self) -> None:
+        pass
+
+
+def open_slide(path):
+    """Open a slide with the best available backend."""
+    path = str(path)
+    if HAVE_OPENSLIDE and not path.lower().endswith((".png", ".jpg", ".jpeg", ".npy")):
+        return _OpenSlide(path)
+    if path.endswith(".npy"):
+        return ArraySlide(np.load(path))
+    return ArraySlide(path)
+
+
+def wsi_sample(slide_obj, offset, p_size: int, b_scale: int, pos) -> np.ndarray:
+    """Read a (p_size, p_size) RGB patch centered at ``pos`` (y, x, level-0 coords,
+    plus ``offset``) at pyramid scale ``b_scale`` (reference her2_utils.py:177-208):
+    use the matching level when present, else read finer and block-mean downscale;
+    alpha-0 regions fill with white."""
+    levels = [int(round(lvl)) for lvl in slide_obj.level_downsamples]
+    y0 = int(pos[0] + offset[0] - (p_size / 2) * b_scale)
+    x0 = int(pos[1] + offset[1] - (p_size / 2) * b_scale)
+
+    if b_scale in levels:
+        lvl = levels.index(b_scale)
+        crop = np.array(slide_obj.read_region(location=(x0, y0), level=lvl,
+                                              size=(p_size, p_size)), copy=True)
+        crop[:, :, :3][crop[:, :, 3] == 0] = 255
+        return crop[:, :, :3]
+
+    out_lvl_ds = next(lvl for lvl in reversed(levels) if lvl < b_scale)
+    lvl = levels.index(out_lvl_ds)
+    scale_diff = int(b_scale / out_lvl_ds)
+    crop = np.array(slide_obj.read_region(
+        location=(x0, y0), level=lvl,
+        size=(p_size * scale_diff, p_size * scale_diff)), copy=True)
+    crop[:, :, :3][crop[:, :, 3] == 0] = 255
+    crop = crop[:, :, :3]
+    return downscale_local_mean(crop, (scale_diff, scale_diff)).astype(np.uint8)
+
+
+def sample(slide_obj, offset, seg_comp: np.ndarray, p_size: int, b_scale: int, pos,
+           trans, rng) -> tuple[np.ndarray, np.ndarray]:
+    """Aligned (image, segmentation) patch pair (reference her2_utils.py:164-174).
+    ``seg_comp`` is the PNG-encoded ROI segmentation at base scale."""
+    import cv2
+
+    p_h = int((p_size / 2) * b_scale)
+    seg = cv2.imdecode(seg_comp, cv2.IMREAD_ANYDEPTH)
+    seg_crop = seg[pos[0] - p_h:pos[0] + p_h, pos[1] - p_h:pos[1] + p_h]
+    img_crop = wsi_sample(slide_obj, offset, p_size, b_scale, pos)
+    applied = trans(rng, img_crop, seg_crop)
+    return applied["image"], applied["mask"]
+
+
+def tissue_mask(slide_obj, kernel_size: int) -> np.ndarray:
+    """Low-res tissue mask for style sampling (reference her2_ds.py:96-110):
+    level-2 min-channel < 253 after block-mean, then morphology x2."""
+    from scipy.ndimage import binary_dilation, binary_erosion, binary_opening
+
+    lvl = min(2, len(slide_obj.level_downsamples) - 1)
+    ref = slide_obj.read_region(location=(0, 0), level=lvl,
+                                size=slide_obj.level_dimensions[lvl])
+    ref = np.min(np.array(ref)[:, :, :3], axis=2)
+    f = max(int(kernel_size / 16), 1)
+    mask = downscale_local_mean(ref, (f, f), cval=255) < 253
+    mask = binary_dilation(mask, iterations=2)
+    mask = binary_erosion(mask, iterations=2)
+    return binary_opening(mask, iterations=2)
