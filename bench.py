@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: repeated bench runs skip the (remote) XLA compiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/stedm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BATCH = 8
 PATCH = 256
 STEPS = 50

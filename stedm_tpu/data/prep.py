@@ -59,8 +59,21 @@ def rasterize_rois(img_annos_rois, tissue_conts, label_dict, look_f: int,
 
 
 def consensus_stack(stack: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Per-pixel multi-annotator consensus (reference her2_utils.py:87-130),
-    vectorized. ``stack``: [K, H, W] uint8 annotations. Returns (value, strength).
+    """Per-pixel multi-annotator consensus (reference her2_utils.py:87-130).
+    ``stack``: [K, H, W] uint8 annotations. Returns (value, strength).
+
+    Dispatches to the C++ kernel (native/consensus.cc) when built — WSI masks are
+    hundreds of megapixels — with :func:`consensus_stack_numpy` as fallback."""
+    from stedm_tpu.native import consensus_stack_native
+
+    native = consensus_stack_native(np.asarray(stack))
+    if native is not None:
+        return native
+    return consensus_stack_numpy(stack)
+
+
+def consensus_stack_numpy(stack: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized numpy consensus (see :func:`consensus_stack`).
 
     Stage 1 groups codes into {BG/HN, tumor grades, DCIS} and takes ceil(median);
     stage 2 resolves within the winning group.
@@ -85,7 +98,11 @@ def consensus_stack(stack: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     # group 1: median over the grade votes only
     grades = np.where(is_grade, stack.astype(np.float64), np.nan)
-    with np.errstate(all="ignore"):
+    import warnings
+
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        # all-NaN columns (no grade votes) are a legal degenerate case -> value 0
+        warnings.simplefilter("ignore", RuntimeWarning)
         grade_median = np.ceil(np.nanmedian(grades, axis=0))
     grade_median = np.nan_to_num(grade_median, nan=0.0).astype(np.uint8)
     m1 = first == 1
