@@ -95,7 +95,8 @@ def main(argv: list[str]) -> None:
     sampler_cfg = SamplerConfig(
         ddim_steps=cfg.ddim_steps, eta=cfg.eta, cfg_scale=cfg.cfg_scale,
         rescale_phi=cfg.get("rescale_phi", 0.7),
-        batched_cfg=cfg.get("batched_cfg", True), use_cfg=use_cfg, downsample=4)
+        batched_cfg=cfg.get("batched_cfg", True), use_cfg=use_cfg, downsample=4,
+        method=cfg.get("sampler", "ddim"))
 
     rep = replicated(mesh)
     dp = batch_sharding(mesh)

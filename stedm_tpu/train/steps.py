@@ -111,6 +111,7 @@ class SamplerConfig:
     use_cfg: bool = True          # False when cfg_scale==1 or style_sampling==none
     latent_channels: int = 3
     downsample: int = 4           # VQ-f4
+    method: str = "ddim"          # ddim | plms | dpm (DPM-Solver++ 2M)
 
 
 def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
@@ -155,9 +156,20 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                     e_u = model.apply(var, x, t, seg_cond, style_u, method=model.eps)
                     return e_c, e_u
 
-        z_0 = ddim_sample(eps_fn, x_T, ddim,
-                          cfg_scale=cfg.cfg_scale if use_cfg else 1.0,
-                          rescale_phi=cfg.rescale_phi)
+        scale = cfg.cfg_scale if use_cfg else 1.0
+        if cfg.method == "plms":
+            from stedm_tpu.core.plms import plms_sample
+
+            z_0 = plms_sample(eps_fn, x_T, ddim, cfg_scale=scale,
+                              rescale_phi=cfg.rescale_phi)
+        elif cfg.method == "dpm":
+            from stedm_tpu.core.dpm_solver import dpm_solver_pp_sample
+
+            z_0 = dpm_solver_pp_sample(eps_fn, x_T, schedule, cfg.ddim_steps,
+                                       cfg_scale=scale, rescale_phi=cfg.rescale_phi)
+        else:
+            z_0 = ddim_sample(eps_fn, x_T, ddim, cfg_scale=scale,
+                              rescale_phi=cfg.rescale_phi)
         img = model.apply(var, z_0, method=model.decode_first_stage)
         return jnp.clip(img, -1.0, 1.0)
 
