@@ -199,11 +199,11 @@ class VectorQuantizer(nn.Module):
             (self.n_embed, self.embed_dim))
 
         flat = z.reshape(-1, self.embed_dim).astype(jnp.float32)
-        # ||z - e||^2 = ||z||^2 + ||e||^2 - 2 z.e ; argmin over codebook
-        d = (jnp.sum(flat ** 2, axis=1, keepdims=True)
-             + jnp.sum(codebook ** 2, axis=1)[None, :]
-             - 2.0 * flat @ codebook.T)
-        idx = jnp.argmin(d, axis=1)
+        # nearest codebook row per token; Pallas running-argmin kernel on TPU
+        # (stedm_tpu/ops/quantize.py) avoids the [N, n_embed] HBM intermediate
+        from stedm_tpu.ops.quantize import nearest_code
+
+        idx = nearest_code(flat, codebook)
         z_q = codebook[idx].reshape(z.shape)
         # straight-through: gradients flow to z, values come from the codebook
         z32 = z.astype(jnp.float32)
