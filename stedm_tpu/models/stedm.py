@@ -54,6 +54,7 @@ class STEDM(nn.Module):
     encoder: str = "swin_v2_t"
     svit_config: dict | None = None
     scale_factor: float = 1.0
+    conditioning_key: str = "hybrid"   # hybrid | concat | crossattn | adm | none
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -111,11 +112,21 @@ class STEDM(nn.Module):
 
     def eps(self, z_noisy: jnp.ndarray, t: jnp.ndarray, seg_cond: jnp.ndarray,
             style: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """'hybrid' conditioning dispatch (reference ddpm.py:1414-1417): concat the
-        layout conditioning on channels, style as cross-attention/additive context."""
-        x = jnp.concatenate([z_noisy.astype(self.dtype), seg_cond.astype(self.dtype)],
-                            axis=-1)
-        return self.unet(x, t, context=style, train=train).astype(jnp.float32)
+        """Conditioning dispatch (reference DiffusionWrapper, ddpm.py:1398-1424).
+        Active mode 'hybrid': layout conditioning channel-concatenated to the noisy
+        latent, style riding the context input; the other reference modes are kept
+        config-selectable."""
+        key = self.conditioning_key
+        x = z_noisy.astype(self.dtype)
+        if key in ("hybrid", "concat"):
+            x = jnp.concatenate([x, seg_cond.astype(self.dtype)], axis=-1)
+        if key == "concat" or key == "none" or key is None:
+            out = self.unet(x, t, train=train)
+        elif key == "adm":
+            out = self.unet(x, t, y=style, train=train)  # class-conditional path
+        else:  # hybrid / crossattn
+            out = self.unet(x, t, context=style, train=train)
+        return out.astype(jnp.float32)
 
     def __call__(self, image: jnp.ndarray, segmentation: jnp.ndarray,
                  style_imgs: jnp.ndarray, t: jnp.ndarray,
@@ -163,5 +174,6 @@ def build_stedm(cfg, dtype=None) -> STEDM:
         patch_size=cfg.data.patch_size,
         svit_config=svit_cfg,
         scale_factor=diff.get("scale_factor", 1.0),
+        conditioning_key=diff.get("conditioning_key", "hybrid"),
         dtype=compute_dtype,
     )

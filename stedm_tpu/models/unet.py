@@ -113,6 +113,7 @@ class UNet(nn.Module):
     context_dim: int = 512
     use_spatial_transformer: bool = False
     transformer_depth: int = 1
+    num_classes: int | None = None     # class-conditional 'adm' mode (y labels)
     dtype: Dtype = jnp.float32
 
     def _heads(self, ch: int) -> tuple[int, int]:
@@ -130,7 +131,8 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
-                 context: jnp.ndarray | None = None, train: bool = False) -> jnp.ndarray:
+                 context: jnp.ndarray | None = None, y: jnp.ndarray | None = None,
+                 train: bool = False) -> jnp.ndarray:
         in_dtype = x.dtype
         x = x.astype(self.dtype)
         mc = self.model_channels
@@ -140,6 +142,10 @@ class UNet(nn.Module):
         emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_0")(
             t_emb.astype(self.dtype))
         emb = nn.Dense(time_embed_dim, dtype=self.dtype, name="time_embed_2")(nn.silu(emb))
+        if self.num_classes is not None and y is not None:
+            # class-conditional 'adm' mode (reference openaimodel.py:536-537, 790-792)
+            emb = emb + nn.Embed(self.num_classes, time_embed_dim,
+                                 dtype=self.dtype, name="label_emb")(y)
 
         def res(out_ch, name, **kw):
             return ResBlock(out_channels=out_ch, dropout=self.dropout,

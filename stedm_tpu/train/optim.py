@@ -55,3 +55,23 @@ def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx
+
+
+def warmup_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
+                           min_lr: float = 0.0):
+    """Lambda-style warmup-cosine lr schedule (reference `ldm/lr_scheduler.py`
+    `LambdaWarmUpCosineScheduler` — dead on the reference's active path, kept for
+    surface completeness)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=base_lr, warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, warmup_steps + 1), end_value=min_lr)
+
+
+def warmup_linear_schedule(base_lr: float, warmup_steps: int, total_steps: int,
+                           min_lr: float = 0.0):
+    """(reference ldm/lr_scheduler.py `LambdaLinearScheduler` equivalent)"""
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, base_lr, max(warmup_steps, 1)),
+         optax.linear_schedule(base_lr, min_lr,
+                               max(total_steps - warmup_steps, 1))],
+        [max(warmup_steps, 1)])

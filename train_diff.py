@@ -88,6 +88,9 @@ def main(argv: list[str]) -> None:
                   "style_imgs": jnp.zeros((1, model.num_style_patches, p, p, 3))}
     params = model.init(rng, init_batch["image"], init_batch["segmentation"],
                         init_batch["style_imgs"], jnp.zeros((1,), jnp.int32))["params"]
+    from stedm_tpu.utils.report import count_params
+
+    count_params(params, name="STEDM")  # reference prints this at init (ddpm.py:90)
 
     # optional warm starts (reference ldm_based.yaml ckpt_path / vq-f4 ckpt_path)
     fs_ckpt = cfg.diffusion.first_stage_config.params.get("ckpt_path")
