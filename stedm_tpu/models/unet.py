@@ -180,6 +180,19 @@ class UNet(nn.Module):
         h = res(ch, "middle_block_0")(h, emb, train)
         if context is None:
             context = jnp.zeros((x.shape[0], self.context_dim), dtype=self.dtype)
+        if context.shape[0] != h.shape[0]:
+            # shared-encoder CFG fan-out: with style injected only at the bottleneck
+            # (the active architecture), the cond/uncond branches share the entire
+            # encoder. A context of batch k*B duplicates the bottleneck state k
+            # ways here and the decoder runs fanned out — identical math to k full
+            # passes at ~15% fewer FLOPs for k=2 (invalid with
+            # use_spatial_transformer, which consumes context pre-bottleneck).
+            assert not self.use_spatial_transformer, \
+                "shared-encoder CFG requires bottleneck-only conditioning"
+            k = context.shape[0] // h.shape[0]
+            h = jnp.concatenate([h] * k)
+            emb = jnp.concatenate([emb] * k)
+            hs = [jnp.concatenate([s] * k) for s in hs]
         # ResBlockStyle: the style vector rides the embedding pathway
         # (reference openaimodel.py:291-297, 636-643)
         h = res(ch, "middle_block_1")(h, context.astype(self.dtype), train)
