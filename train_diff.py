@@ -116,6 +116,18 @@ def main(argv: list[str]) -> None:
         accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4))
     state = create_train_state(params, tx)
 
+    # preemption-safe resume (SURVEY.md §5.3: deterministic sampling + frequent
+    # checkpoints replace elastic recovery): resume=true reloads the last epoch
+    start_epoch = 0
+    if cfg.get("resume"):
+        try:
+            state = checkpoints.restore(result_dir + "/ckpt", jax.device_get(state),
+                                        name=f"{run_name}_last")
+            start_epoch = int(state.step) // max(len(dm.train_loader()), 1)
+            print(f"resumed from step {int(state.step)} (epoch ~{start_epoch})")
+        except Exception as exc:
+            print(f"resume requested but no checkpoint loaded ({exc}); fresh start")
+
     rep = replicated(mesh)
     dp = batch_sharding(mesh)
     state = jax.device_put(state, rep)
@@ -127,7 +139,7 @@ def main(argv: list[str]) -> None:
     loader.batch_size = global_batch
     step_rng = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
 
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         losses = []
         for np_batch in loader:
