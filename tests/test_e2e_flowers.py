@@ -84,14 +84,29 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     import train_diff as td
     import predict_diff as pd
 
+    # epoch-end preview fixture (reference ldm_diffusion.py:128-221)
+    preview_dir = flowers_dir / "test_img_diff" / "flowers"
+    (preview_dir / "augmented").mkdir(parents=True, exist_ok=True)
+    cond = np.zeros((32, 32), np.uint8)
+    cond[8:24, 8:24] = 255
+    Image.fromarray(cond).save(preview_dir / "test_c.png")
+    style_img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
+    Image.fromarray(style_img).save(preview_dir / "augmented" / "0_img.png")
+
     result_dir = tmp_path / "results"
     overrides = TINY_OVERRIDES + CLASS_OVERRIDES + [
         f"location.data_dir={flowers_dir}",
         f"location.result_dir={result_dir}",
         "accumulate_grad_batches=1",
+        "+preview_ddim_steps=4",
     ]
 
     td.main(overrides)
+    previews = list((result_dir / "diff_flowers_augmented_mean" / "previews").glob("*.png"))
+    assert previews, "epoch-end preview images not written"
+
+    # preemption-style resume: continue into a second epoch from the checkpoint
+    td.main(overrides + ["+resume=true", "num_epochs=2"])
 
     run_name = "diff_flowers_augmented_mean"
     ckpt = result_dir / run_name / "ckpt" / f"{run_name}_last"

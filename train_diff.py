@@ -190,8 +190,9 @@ def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
     if not styles:
         return
 
+    steps = cfg.get("preview_ddim_steps", 128)  # reference uses 128 (ldm_diffusion.py:185)
     sample = jax.jit(make_sample_fn(model, schedule, SamplerConfig(
-        ddim_steps=128, eta=0.0, cfg_scale=1.0, use_cfg=False, downsample=4)))
+        ddim_steps=steps, eta=0.0, cfg_scale=1.0, use_cfg=False, downsample=4)))
     imgs = []
     for style in styles:
         batch = {"segmentation": jnp.asarray(one_hot),
