@@ -112,7 +112,7 @@ class BasicTransformerBlock(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         attn = lambda name: CrossAttention(heads=self.heads, dim_head=self.dim_head,
                                            dropout=self.dropout, dtype=self.dtype, name=name)
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name=name)
         x = attn("attn1")(ln("norm1")(x).astype(self.dtype), train=train) + x
         x = attn("attn2")(ln("norm2")(x).astype(self.dtype), context, train=train) + x
         dim = x.shape[-1]

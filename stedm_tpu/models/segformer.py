@@ -47,7 +47,7 @@ class EfficientAttention(nn.Module):
             xs = nn.Conv(c, (self.sr_ratio, self.sr_ratio),
                          strides=(self.sr_ratio, self.sr_ratio), dtype=self.dtype,
                          name="sr")(xs)
-            kv_in = nn.LayerNorm(dtype=jnp.float32, name="sr_norm")(
+            kv_in = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="sr_norm")(
                 xs.reshape(b, -1, c)).astype(self.dtype)
         k = nn.Dense(c, dtype=self.dtype, name="k")(kv_in)
         v = nn.Dense(c, dtype=self.dtype, name="v")(kv_in)
@@ -88,7 +88,7 @@ class MiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
+        ln = lambda name: nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name=name)
         x = x + EfficientAttention(self.dim, self.num_heads, self.sr_ratio,
                                    dtype=self.dtype, name="attn")(
             ln("norm1")(x).astype(self.dtype), h, w)
@@ -118,12 +118,12 @@ class MiTEncoder(nn.Module):
                 x = nn.Conv(dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                             dtype=self.dtype, name=f"patch_embed_{stage}")(x)
             b, h, w, c = x.shape
-            t = nn.LayerNorm(dtype=jnp.float32, name=f"embed_norm_{stage}")(
+            t = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name=f"embed_norm_{stage}")(
                 x.reshape(b, h * w, c)).astype(self.dtype)
             for i in range(depth):
                 t = MiTBlock(dim, heads, sr, dtype=self.dtype,
                              name=f"stage{stage}_block{i}")(t, h, w)
-            t = nn.LayerNorm(dtype=jnp.float32, name=f"stage_norm_{stage}")(t)
+            t = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name=f"stage_norm_{stage}")(t)
             x = t.reshape(b, h, w, c).astype(self.dtype)
             feats.append(x)
         return feats

@@ -92,7 +92,7 @@ class SPT(nn.Module):
         # patchify: matches torch Rearrange('b c (h p1) (w p2) -> b (h w) (p1 p2 c)')
         x = x.reshape(b, h // p, p, w // p, p, n * c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p), p * p * n * c)
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="patch_proj")(x)
 
 
@@ -143,10 +143,10 @@ class SViT(nn.Module):
             x = nn.Dropout(self.emb_dropout, deterministic=not train)(x)
 
         for i in range(self.depth):
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"block{i}_norm_attn")(x).astype(self.dtype)
+            h = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name=f"block{i}_norm_attn")(x).astype(self.dtype)
             x = x + LSA(self.heads, self.dim_head, self.dropout, dtype=self.dtype,
                         name=f"block{i}_attn")(h, train=train)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"block{i}_norm_ff")(x).astype(self.dtype)
+            h = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name=f"block{i}_norm_ff")(x).astype(self.dtype)
             x = x + SViTFeedForward(self.mlp_dim, self.dropout, dtype=self.dtype,
                                     name=f"block{i}_ff")(h, train=train)
 
@@ -158,5 +158,5 @@ class SViT(nn.Module):
             x = x[:, 0]
         if c_old is not None:
             x = x + c_old
-        x = nn.LayerNorm(dtype=jnp.float32, name="head_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="head_norm")(x).astype(self.dtype)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)

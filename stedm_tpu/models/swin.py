@@ -85,9 +85,15 @@ class WindowAttentionV2(nn.Module):
         qkv = qkv.reshape(bt, t, 3, heads, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # cosine attention: L2-normalize q/k, learnable log temperature per head
-        q = q / (jnp.linalg.norm(q.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6).astype(q.dtype)
-        k = k / (jnp.linalg.norm(k.astype(jnp.float32), axis=-1, keepdims=True) + 1e-6).astype(k.dtype)
+        # cosine attention: L2-normalize q/k, learnable log temperature per head.
+        # rsqrt(|v|^2 + eps) instead of /(norm + eps): the norm's gradient is NaN at
+        # v == 0 exactly, which constant (e.g. dropped-style) inputs produce
+        def l2norm(v):
+            sq = jnp.sum(jnp.square(v.astype(jnp.float32)), axis=-1, keepdims=True)
+            return (v.astype(jnp.float32) * jax.lax.rsqrt(sq + 1e-12)).astype(v.dtype)
+
+        q = l2norm(q)
+        k = l2norm(k)
         logit_scale = self.param("logit_scale",
                                  nn.initializers.constant(math.log(10.0)), (heads, 1, 1))
         scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
@@ -155,12 +161,12 @@ class SwinBlockV2(nn.Module):
         x = _window_reverse(attn, win, b, h, w)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = shortcut + nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
 
         shortcut = x
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y))
-        return shortcut + nn.LayerNorm(dtype=jnp.float32, name="norm2")(y).astype(self.dtype)
+        return shortcut + nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm2")(y).astype(self.dtype)
 
 
 class PatchMergingV2(nn.Module):
@@ -177,7 +183,7 @@ class PatchMergingV2(nn.Module):
         x = jnp.concatenate([x[..., 0, 0, :], x[..., 0, 1, :],
                              x[..., 1, 0, :], x[..., 1, 1, :]], axis=-1)
         x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
-        return nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
 
 
 class SwinV2(nn.Module):
@@ -197,7 +203,7 @@ class SwinV2(nn.Module):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype,
                     name="patch_embed")(x.astype(self.dtype))
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
         dim = self.embed_dim
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for i in range(depth):
@@ -207,7 +213,7 @@ class SwinV2(nn.Module):
             if stage != len(self.depths) - 1:
                 x = PatchMergingV2(dtype=self.dtype, name=f"merge{stage}")(x)
                 dim *= 2
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         x = x.mean(axis=(1, 2))  # global average pool
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 

@@ -30,11 +30,13 @@ def scaled_lr(base_lr: float, batch_base: int, batch_mul: int, n_devices: int,
 
 def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
                    accumulate_grad_batches: int = 1,
-                   weight_decay: float = 0.01) -> optax.GradientTransformation:
+                   weight_decay: float = 0.01,
+                   clip_grad_norm: float | None = None) -> optax.GradientTransformation:
     """AdamW over trainable groups; frozen groups get zero updates.
 
     Expects the STEDM param tree's top-level keys: unet / cond_stage / agg /
-    first_stage.
+    first_stage. ``clip_grad_norm`` adds global-norm clipping (off by default —
+    the reference has none).
     """
 
     def label(params) -> dict:
@@ -48,9 +50,11 @@ def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
                 labels[key] = "train"
         return labels
 
+    inner = optax.adamw(lr, weight_decay=weight_decay)
+    if clip_grad_norm:
+        inner = optax.chain(optax.clip_by_global_norm(clip_grad_norm), inner)
     tx = optax.multi_transform(
-        {"train": optax.adamw(lr, weight_decay=weight_decay),
-         "frozen": optax.set_to_zero()},
+        {"train": inner, "frozen": optax.set_to_zero()},
         label)
     if accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)

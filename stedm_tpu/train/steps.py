@@ -72,6 +72,16 @@ def make_train_step(model: STEDM, schedule: DiffusionSchedule,
             seg_cond = model.apply(var, batch["segmentation"], method=model.cond_encode)
             style = model.apply(var, batch["style_imgs"], True,
                                 method=model.style_encode)
+            # constant style sets (the style-drop fill, flowers_ds.py:62-63) make
+            # every LayerNorm in the encoder see zero variance; its backward gain
+            # 1/sqrt(eps) then compounds across depth and overflows. The value
+            # passes through (the U-Net must still see the uncond signature), only
+            # the encoder gradient is cut for those samples. The reference trains
+            # with the same degenerate inputs but never updates its style encoder
+            # (SURVEY.md Q1), so it never observes this.
+            s = batch["style_imgs"].reshape(style.shape[0], -1)
+            constant = (jnp.max(s, axis=1) - jnp.min(s, axis=1)) < 1e-6
+            style = jnp.where(constant[:, None], jax.lax.stop_gradient(style), style)
             t = jax.random.randint(rng_t, (z.shape[0],), 0, schedule.num_timesteps)
             noise = jax.random.normal(rng_noise, z.shape, dtype=jnp.float32)
 

@@ -113,7 +113,8 @@ def main(argv: list[str]) -> None:
         cfg.diffusion.linear_start, cfg.diffusion.linear_end)
     tx = make_optimizer(
         lr, style_encoder_trainable=cfg.diffusion.get("style_encoder_trainable", True),
-        accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4))
+        accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4),
+        clip_grad_norm=cfg.get("clip_grad_norm"))
     state = create_train_state(params, tx)
 
     # preemption-safe resume (SURVEY.md §5.3: deterministic sampling + frequent
