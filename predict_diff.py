@@ -77,11 +77,15 @@ def main(argv: list[str]) -> None:
         restored = checkpoints.restore_params(ckpt_path + "/params", params)
         params = restored
     except Exception:
-        # full-state checkpoint: pull the params subtree non-strictly
+        # full-state checkpoint: rebuild the training optimizer structure
+        # (grad-accum count included) so the orbax tree matches, then take params
         from stedm_tpu.train.optim import make_optimizer
         from stedm_tpu.train.steps import create_train_state
 
-        tx = make_optimizer(1e-4)
+        tx = make_optimizer(
+            1e-4,
+            style_encoder_trainable=cfg.diffusion.get("style_encoder_trainable", True),
+            accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4))
         state = create_train_state(params, tx)
         state = checkpoints.restore(Path(ckpt_path).parent, state,
                                     name=Path(ckpt_path).name)
