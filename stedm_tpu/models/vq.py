@@ -65,22 +65,38 @@ class ResnetBlockVQ(nn.Module):
 
 
 class AttnBlockVQ(nn.Module):
-    """Single-head spatial self-attention (reference model.py:150-202)."""
+    """Single-head spatial self-attention (reference model.py:150-202).
+
+    At generation resolutions the token count is large (4096 at 256^2 decode,
+    16384 at 512^2) and the naive T^2 logits matrix costs up to ~1GB of HBM per
+    image; on TPU with >= 2048 tokens this dispatches to the Pallas flash-attention
+    kernel (streaming softmax, no materialized logits)."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
+        t = h * w
         hn = GroupNormVQ(dtype=self.dtype, name="norm")(x)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, h * w, c)
-        logits = jnp.einsum("btc,bsc->bts", q, k,
-                            preferred_element_type=jnp.float32) * (c ** -0.5)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bts,bsc->btc", weights, v).reshape(b, h, w, c)
-        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(out)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, t, c)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, t, c)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, t, c)
+
+        use_flash = (jax.default_backend() in ("tpu", "axon") and t >= 2048
+                     and t % 512 == 0 and c % 128 == 0)
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+            out = fa.flash_attention(q[:, None], k[:, None], v[:, None],
+                                     sm_scale=float(c) ** -0.5)[:, 0]
+        else:
+            logits = jnp.einsum("btc,bsc->bts", q, k,
+                                preferred_element_type=jnp.float32) * (c ** -0.5)
+            weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bts,bsc->btc", weights, v)
+        out = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(
+            out.reshape(b, h, w, c))
         return x + out
 
 
