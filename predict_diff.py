@@ -90,6 +90,10 @@ def main(argv: list[str]) -> None:
         state = checkpoints.restore(Path(ckpt_path).parent, state,
                                     name=Path(ckpt_path).name)
         params = state.params
+        if cfg.get("use_ema"):
+            # sample with the EMA shadow of the denoiser (the reference maintains
+            # EMA but defaults to raw weights, SURVEY.md Q8)
+            params = {**params, "unet": state.ema_params}
     del state_like
 
     schedule = DiffusionSchedule.create(

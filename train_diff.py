@@ -35,7 +35,6 @@ from stedm_tpu.parallel.mesh import (
     build_mesh,
     maybe_initialize_distributed,
     replicated,
-    shard_batch,
 )
 from stedm_tpu.train import checkpoints
 from stedm_tpu.train.optim import make_optimizer, scaled_lr
@@ -140,11 +139,14 @@ def main(argv: list[str]) -> None:
     loader.batch_size = global_batch
     step_rng = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
 
+    from stedm_tpu.data.prefetch import prefetch_to_device
+
     for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.time()
         losses = []
-        for np_batch in loader:
-            batch = shard_batch(mesh, batch_to_ldm(np_batch))
+        batches = prefetch_to_device(loader, size=cfg.location.get("prefetch", 2),
+                                     transform=batch_to_ldm, sharding=dp)
+        for batch in batches:
             state, metrics = train_step(state, batch, step_rng)
             losses.append(metrics["loss"])
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
