@@ -105,3 +105,30 @@ def subtype_variance(cm: np.ndarray) -> float:
     (reference segmentation.py:155-156)."""
     norm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1e-10)
     return float(np.var(norm[1:-1, 1])) if cm.shape[0] > 2 else 0.0
+
+
+def plot_confusion_matrix(cm: np.ndarray, class_names_x, class_names_y,
+                          title: str = "Confusion matrix"):
+    """Matplotlib CM figure, possibly asymmetric (collapsed prediction classes vs
+    full label classes — reference modules/utils.py:43-68). Returns the figure."""
+    import itertools
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(6, 6))
+    plt.imshow(cm, interpolation="nearest", cmap=plt.cm.Blues)
+    plt.title(title)
+    plt.xticks(np.arange(len(class_names_x)), class_names_x, rotation=45)
+    plt.yticks(np.arange(len(class_names_y)), class_names_y)
+    cm = np.around(cm, decimals=3)
+    threshold = cm.max() / 2.0 if cm.size else 0.5
+    for i, j in itertools.product(range(cm.shape[0]), range(cm.shape[1])):
+        color = "white" if cm[i, j] > threshold else "black"
+        plt.text(j, i, cm[i, j], horizontalalignment="center", color=color)
+    plt.tight_layout()
+    plt.ylabel("True label")
+    plt.xlabel("Predicted label")
+    return fig

@@ -48,9 +48,21 @@ from stedm_tpu.utils.logging import EventLogger
 
 def _epoch_metrics(prefix: str, cm: np.ndarray, inst_cms: np.ndarray | None,
                    logger: EventLogger, step: int, *, subtype_names=None,
-                   image_list=None, name_idx: int = 0) -> dict:
+                   image_list=None, name_idx: int = 0,
+                   class_names=None) -> dict:
     out = {f"{prefix} IoU Score": M.tumor_iou(cm),
            f"{prefix} Subtype Var": M.subtype_variance(cm)}
+    if class_names is not None and cm.sum() > 0:
+        # CM image, BG-vs-tumor prediction columns against full label rows
+        # (reference segmentation.py:159-160)
+        import matplotlib.pyplot as plt
+
+        norm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1e-10)
+        fig = M.plot_confusion_matrix(norm[:, :2], ["BG", "Tumor"], class_names,
+                                      title=f"{prefix} Conf Matrix")
+        path = logger.run_dir / f"{prefix.lower().replace(' ', '_')}_cm_{step}.png"
+        fig.savefig(path)
+        plt.close(fig)
     if inst_cms is not None:
         patient_ious = [M.tumor_iou(c) for c in inst_cms if c.sum() > 0]
         if patient_ious:
@@ -177,13 +189,15 @@ def main(argv: list[str]) -> None:
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
         logger.log({"Train Loss": train_loss, "epoch": epoch,
                     "epoch_time_s": time.time() - t0}, step=int(state.step))
-        _epoch_metrics("Train", cm_train, None, logger, int(state.step))
+        _epoch_metrics("Train", cm_train, None, logger, int(state.step),
+                       class_names=list(cfg.data.classes))
 
         if len(val_loader) > 0:
             val_loss, cm_val, inst_val = run_eval(val_loader, eval_step_val,
                                                   cfg.data.num_val_inst)
             logger.log({"Val Loss": val_loss}, step=int(state.step))
-            _epoch_metrics("Val", cm_val, inst_val, logger, int(state.step))
+            _epoch_metrics("Val", cm_val, inst_val, logger, int(state.step),
+                           class_names=list(cfg.data.classes))
             if jax.process_index() == 0:
                 host_state = jax.device_get(state)
                 checkpoints.save(result_dir + "/ckpt", host_state,
