@@ -34,7 +34,6 @@ A100_MFU = 0.40
 
 
 def main() -> None:
-    from stedm_tpu.core.ddim import DDIMParams
     from stedm_tpu.core.schedules import DiffusionSchedule
     from stedm_tpu.models.stedm import STEDM
     from stedm_tpu.train.steps import SamplerConfig, make_sample_fn

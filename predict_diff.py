@@ -123,7 +123,9 @@ def main(argv: list[str]) -> None:
         b = ldm_batch["image"].shape[0]
         if b % n_devices:  # pad ragged final batch for even sharding
             pad = n_devices - b % n_devices
-            ldm_batch = {k: np.concatenate([v, v[:pad]]) for k, v in ldm_batch.items()}
+            # cycle rows so padding works even when pad > b (tiny final batches)
+            ldm_batch = {k: np.resize(v, (b + pad,) + v.shape[1:])
+                         for k, v in ldm_batch.items()}
         batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in ldm_batch.items()
                                    if k != "image"})
         imgs = sample(params, batch, jax.random.fold_in(rng, batch_idx))

@@ -125,6 +125,16 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     seg_arr = np.array(Image.open(segs[0]))
     assert set(np.unique(seg_arr)) <= {0, 1}
 
+    # DDP-sharded predict (reference predict_diff.py:84-89): 8 virtual devices,
+    # ragged final batch padded by row cycling
+    pd.main(overrides + [
+        "data.samples=1", "ddim_steps=4", "cfg_scale=1.5", "location=tpu",
+        f"location.data_dir={flowers_dir}", f"location.result_dir={result_dir}",
+        "location.n_workers=2", "+predict_name=flowers_dp",
+    ])
+    dp_dir = flowers_dir / "syn_data" / "flowers_dp"
+    assert len(list(dp_dir.glob("img_*.png"))) >= 2
+
     # generated pairs round-trip through the syn data module
     from stedm_tpu.config import compose
     from stedm_tpu.data.dm import DataModule
