@@ -39,10 +39,12 @@ def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
     the reference has none).
     """
 
+    from stedm_tpu.models.stedm import FROZEN_PARAM_GROUPS
+
     def label(params) -> dict:
         labels = {}
         for key in params:
-            if key == "first_stage":
+            if key in FROZEN_PARAM_GROUPS:
                 labels[key] = "frozen"
             elif key == "agg":
                 labels[key] = "train" if style_encoder_trainable else "frozen"
