@@ -1,0 +1,129 @@
+"""Full DDIM trajectory parity: the reference's own `DDIMSampler` loop (torch, CPU)
+vs our scanned sampler, with identical imported U-Net weights, schedule, CFG and
+starting noise. This composes every piece — timestep selection, buffer indexing,
+rescaled CFG, layout conversion — across a multi-step trajectory
+(SURVEY.md §7 step 10 without a released checkpoint)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
+                                reason="reference checkout not mounted")
+if REFERENCE.exists():
+    sys.path.append(str(REFERENCE))
+
+UNET_KW = dict(image_size=32, in_channels=6, out_channels=3, model_channels=32,
+               attention_resolutions=[32, 16, 8], num_res_blocks=1,
+               channel_mult=[1, 2], num_heads=4)
+T, START, END = 1000, 0.0015, 0.0205
+STEPS, CFG_SCALE = 10, 1.5
+
+
+class _RefModelShim:
+    """The attribute surface `DDIMSampler` needs, wrapping the torch U-Net with
+    'hybrid' conditioning (reference DiffusionWrapper, ddpm.py:1414-1417)."""
+
+    parameterization = "eps"
+
+    def __init__(self, unet, schedule_np):
+        import torch
+
+        self.unet = unet
+        self.device = torch.device("cpu")
+        self.num_timesteps = T
+        self.betas = torch.tensor(schedule_np["betas"], dtype=torch.float32)
+        self.alphas_cumprod = torch.tensor(schedule_np["ac"], dtype=torch.float32)
+        self.alphas_cumprod_prev = torch.tensor(schedule_np["acp"],
+                                                dtype=torch.float32)
+        self.sqrt_one_minus_alphas_cumprod = torch.sqrt(1 - self.alphas_cumprod)
+
+    def apply_model(self, x, t, cond):
+        import torch
+
+        xc = torch.cat([x] + cond["c_concat"], dim=1)
+        cc = torch.cat(cond["c_crossattn"], 1)
+        with torch.no_grad():
+            return self.unet(xc, t, context=cc)
+
+
+def test_ddim_trajectory_matches_reference_sampler():
+    import torch
+    from ldm.models.diffusion.ddim import DDIMSampler
+
+    import jax
+    import jax.numpy as jnp
+
+    from stedm_tpu.core.ddim import DDIMParams, ddim_sample
+    from stedm_tpu.core.schedules import DiffusionSchedule, make_beta_schedule
+    from stedm_tpu.models.unet import UNet
+    from stedm_tpu.utils.torch_import import map_unet, merge_loaded
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    torch.manual_seed(0)
+    tm = UNetModel(**UNET_KW).eval()
+    with torch.no_grad():  # un-zero the zero-init convs for a non-trivial net
+        for p in tm.parameters():
+            if p.ndim > 1 and p.abs().sum() == 0:
+                p.add_(torch.randn_like(p) * 0.02)
+
+    betas = make_beta_schedule("linear", T, START, END)
+    ac = np.cumprod(1 - betas)
+    shim = _RefModelShim(tm, {"betas": betas, "ac": ac,
+                              "acp": np.append(1.0, ac[:-1])})
+
+    class CPUSampler(DDIMSampler):
+        def register_buffer(self, name, attr):  # the reference pins to CUDA
+            setattr(self, name, attr)
+
+    rng = np.random.default_rng(0)
+    b, hw = 2, 8
+    x_T = rng.normal(size=(b, 3, hw, hw)).astype(np.float32)
+    seg = rng.normal(size=(b, 3, hw, hw)).astype(np.float32)
+    style_c = rng.normal(size=(b, 128)).astype(np.float32)
+    style_u = rng.normal(size=(b, 128)).astype(np.float32)
+
+    cond = {"c_concat": [torch.from_numpy(seg)],
+            "c_crossattn": [torch.from_numpy(style_c)]}
+    uncond = {"c_concat": [torch.from_numpy(seg)],
+              "c_crossattn": [torch.from_numpy(style_u)]}
+    sampler = CPUSampler(shim)
+    with torch.no_grad():
+        ref_out, _ = sampler.sample(
+            STEPS, b, (3, hw, hw), conditioning=cond, eta=0.0, verbose=False,
+            x_T=torch.from_numpy(x_T),
+            unconditional_guidance_scale=CFG_SCALE,
+            unconditional_conditioning=uncond)
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    # ours: identical weights via the importer, scanned sampler, batched CFG
+    model = UNet(in_channels=6, out_channels=3, model_channels=32,
+                 num_res_blocks=1, channel_mult=(1, 2), num_heads=4,
+                 attention_resolutions=(32, 16, 8))
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((b, hw, hw, 6)),
+                           jnp.zeros((b,), jnp.int32), jnp.zeros((b, 128)))
+    params = merge_loaded(variables["params"], map_unet(sd, root=""))
+
+    seg_nhwc = jnp.asarray(np.transpose(seg, (0, 2, 3, 1)))
+    ctx2 = jnp.concatenate([jnp.asarray(style_c), jnp.asarray(style_u)])
+    seg2 = jnp.concatenate([seg_nhwc, seg_nhwc])
+
+    def eps_fn(x, t):
+        x2 = jnp.concatenate([x, x])
+        xc = jnp.concatenate([x2, seg2], axis=-1)
+        e = model.apply({"params": params}, xc, jnp.concatenate([t, t]), ctx2)
+        return e[:b], e[b:]
+
+    schedule = DiffusionSchedule.create("linear", T, START, END)
+    ddim = DDIMParams.create(schedule, STEPS, eta=0.0)
+    ours = np.asarray(ddim_sample(
+        eps_fn, jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))), ddim,
+        cfg_scale=CFG_SCALE, rescale_phi=0.7))
+
+    # 10 full steps of compounded model+schedule+CFG math across frameworks
+    np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-3)
+    assert np.abs(ours - ref_out).max() < 5e-3
