@@ -142,3 +142,75 @@ def ddim_sample(eps_fn: Callable, x_T: jnp.ndarray, params: DDIMParams, *,
 
     x_0, _ = jax.lax.scan(body, x_T.astype(jnp.float32), xs)
     return x_0
+
+
+def ddim_sample_cached(eps_full_fn: Callable, eps_cached_fn: Callable,
+                       x_T: jnp.ndarray, params: DDIMParams, *,
+                       cache_interval: int, cfg_scale: float = 1.0,
+                       rescale_phi: float = 0.7, rng: jax.Array | None = None,
+                       temperature: float = 1.0) -> jnp.ndarray:
+    """DDIM trajectory with cross-step deep-feature reuse (DeepCache-style).
+
+    The scan runs over blocks of ``cache_interval`` consecutive steps: the first
+    step of each block evaluates the model fully via ``eps_full_fn(x, t) ->
+    (eps, cache)`` and the remaining ``cache_interval - 1`` steps run the cheap
+    shallow path ``eps_cached_fn(x, t, cache)``. With ``cache_interval == 1``
+    every step is a full step and the trajectory is bit-identical to
+    `ddim_sample`. Under CFG both fns return the ``(e_t_cond, e_t_uncond)`` pair
+    (the cache carries the cond/uncond fan-out in its batch dim).
+
+    When the step count is not a multiple of the interval, the last block is
+    padded with masked no-op repeats of the final (lowest-noise) step.
+    """
+    use_cfg = cfg_scale != 1.0
+    steps = params.num_steps
+    interval = int(cache_interval)
+    assert interval >= 1
+    batch = x_T.shape[0]
+    n_blocks = -(-steps // interval)
+    pad = n_blocks * interval - steps
+
+    if rng is not None:
+        step_keys = jax.random.split(rng, steps)
+    else:
+        step_keys = jnp.zeros((steps, 2), dtype=jnp.uint32)
+    stochastic = rng is not None
+
+    # high-noise step first; pad the low-noise tail with masked repeats of step 0
+    order = np.concatenate([np.arange(steps - 1, -1, -1), np.zeros(pad, np.int64)])
+    valid = jnp.asarray(np.concatenate([np.ones(steps), np.zeros(pad)]), jnp.float32)
+    blk = lambda a: a[order].reshape((n_blocks, interval) + a.shape[1:])
+    xs = (
+        blk(params.timesteps),
+        blk(params.alphas),
+        blk(params.alphas_prev),
+        blk(params.sigmas),
+        blk(params.sqrt_one_minus_alphas),
+        blk(step_keys),  # padded entries reuse key 0 but are masked out below
+        valid.reshape(n_blocks, interval),
+    )
+
+    def body(x, per_block):
+        ts_b, a_b, ap_b, sg_b, sq_b, keys_b, valid_b = per_block
+
+        def update(x, out, j):
+            if use_cfg:
+                e_t = rescaled_cfg(out[0], out[1], cfg_scale, rescale_phi)
+            else:
+                e_t = out[0] if isinstance(out, tuple) else out
+            noise = (jax.random.normal(keys_b[j], x.shape, dtype=jnp.float32)
+                     if stochastic else None)
+            x_prev, _ = ddim_step(x, e_t, a_b[j], ap_b[j], sg_b[j], sq_b[j],
+                                  noise=noise, temperature=temperature)
+            return jnp.where(valid_b[j] > 0, x_prev, x)
+
+        ts = jnp.full((batch,), ts_b[0], dtype=jnp.int32)
+        out, cache = eps_full_fn(x, ts)
+        x = update(x, out, 0)
+        for j in range(1, interval):  # unrolled shallow steps inside the scan body
+            ts = jnp.full((batch,), ts_b[j], dtype=jnp.int32)
+            x = update(x, eps_cached_fn(x, ts, cache), j)
+        return x, ()
+
+    x_0, _ = jax.lax.scan(body, x_T.astype(jnp.float32), xs)
+    return x_0

@@ -128,6 +128,34 @@ class STEDM(nn.Module):
             out = self.unet(x, t, context=style, train=train)
         return out.astype(jnp.float32)
 
+    def eps_full(self, z_noisy: jnp.ndarray, t: jnp.ndarray, seg_cond: jnp.ndarray,
+                 style: jnp.ndarray, cache_levels: int = 1):
+        """Full eps plus the deep-feature cache for cross-step reuse (DeepCache-
+        style serving mode; no reference counterpart — the reference recomputes two
+        full U-Net passes per DDIM step, reference ddim.py:177-178). Only the
+        active 'hybrid'/'concat' conditioning paths support caching (style enters
+        at the bottleneck, inside the cached trunk)."""
+        if self.conditioning_key not in ("hybrid", "concat"):
+            raise ValueError("deep-feature caching requires hybrid/concat conditioning")
+        x = jnp.concatenate([z_noisy.astype(self.dtype),
+                             seg_cond.astype(self.dtype)], axis=-1)
+        ctx = style if self.conditioning_key == "hybrid" else None
+        out, cache = self.unet(x, t, context=ctx, return_cache=True,
+                               cache_levels=cache_levels)
+        return out.astype(jnp.float32), cache
+
+    def eps_cached(self, z_noisy: jnp.ndarray, t: jnp.ndarray, seg_cond: jnp.ndarray,
+                   cache: jnp.ndarray, cache_levels: int = 1) -> jnp.ndarray:
+        """Shallow eps reusing a deep-feature cache from `eps_full` (fresh time
+        embedding + shallow levels only; any CFG fan-out rides in via the cache's
+        batch dim)."""
+        if self.conditioning_key not in ("hybrid", "concat"):
+            raise ValueError("deep-feature caching requires hybrid/concat conditioning")
+        x = jnp.concatenate([z_noisy.astype(self.dtype),
+                             seg_cond.astype(self.dtype)], axis=-1)
+        out = self.unet(x, t, cache=cache, cache_levels=cache_levels)
+        return out.astype(jnp.float32)
+
     def __call__(self, image: jnp.ndarray, segmentation: jnp.ndarray,
                  style_imgs: jnp.ndarray, t: jnp.ndarray,
                  noise: jnp.ndarray | None = None, train: bool = False) -> jnp.ndarray:

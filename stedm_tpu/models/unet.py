@@ -132,7 +132,31 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
                  context: jnp.ndarray | None = None, y: jnp.ndarray | None = None,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, *, cache: jnp.ndarray | None = None,
+                 return_cache: bool = False, cache_levels: int = 1):
+        """Denoiser forward, with optional cross-step deep-feature reuse.
+
+        The cached mode exploits that under the shipped configs attention and the
+        style context only act below the shallow levels (bottleneck), so the deep
+        trunk changes slowly across adjacent DDIM steps (DeepCache, Ma et al. 2023):
+
+        * ``return_cache=True``: full forward, additionally returns the
+          post-upsample hidden state entering decoder level ``cache_levels - 1``.
+        * ``cache=<that tensor>``: recompute only encoder/decoder levels
+          ``< cache_levels`` (skips + fresh time embedding) and splice the cached
+          deep feature in — ~12% of the full FLOPs for the landscape config.
+
+        The reference has no counterpart (it runs 2 fresh full U-Net passes per
+        DDIM step, reference ddim.py:177-178); parameter names are unchanged so
+        both paths share the same weights.
+        """
+        shallow = cache is not None
+        n_levels = len(self.channel_mult)
+        if shallow or return_cache:
+            assert not (shallow and return_cache), "cache in and out are exclusive"
+            assert 1 <= cache_levels < n_levels, \
+                f"cache_levels must be in [1, {n_levels - 1}]"
+
         in_dtype = x.dtype
         x = x.astype(self.dtype)
         mc = self.model_channels
@@ -153,19 +177,24 @@ class UNet(nn.Module):
                             dtype=self.dtype, name=name, **kw)
 
         # ---- encoder -------------------------------------------------------
+        # in cached mode only the shallow levels (< cache_levels) run; the
+        # downsample INTO level cache_levels is skipped (its skip tensor is
+        # consumed by a deep decoder block that the cache replaces)
         hs = []
         h = conv3x3(mc, dtype=self.dtype, name="input_blocks_0_0")(x)
         hs.append(h)
         ds = 1
         block_idx = 1
-        for level, mult in enumerate(self.channel_mult):
+        enc_levels = cache_levels if shallow else n_levels
+        for level in range(enc_levels):
+            mult = self.channel_mult[level]
             for _ in range(self.num_res_blocks):
                 h = res(mult * mc, f"input_blocks_{block_idx}_0")(h, emb, train)
                 if ds in self.attention_resolutions:
                     h = self._attn(h.shape[-1], f"input_blocks_{block_idx}_1")(h)
                 hs.append(h)
                 block_idx += 1
-            if level != len(self.channel_mult) - 1:
+            if level != n_levels - 1 and not (shallow and level == cache_levels - 1):
                 if self.resblock_updown:
                     h = res(h.shape[-1], f"input_blocks_{block_idx}_0", down=True)(h, emb, train)
                 else:
@@ -175,34 +204,48 @@ class UNet(nn.Module):
                 ds *= 2
                 block_idx += 1
 
-        # ---- bottleneck: ResBlock -> ResBlockStyle -> attention -> ResBlock -
-        ch = h.shape[-1]
-        h = res(ch, "middle_block_0")(h, emb, train)
-        if context is None:
-            context = jnp.zeros((x.shape[0], self.context_dim), dtype=self.dtype)
-        if context.shape[0] != h.shape[0]:
-            # shared-encoder CFG fan-out: with style injected only at the bottleneck
-            # (the active architecture), the cond/uncond branches share the entire
-            # encoder. A context of batch k*B duplicates the bottleneck state k
-            # ways here and the decoder runs fanned out — identical math to k full
-            # passes at ~15% fewer FLOPs for k=2 (invalid with
-            # use_spatial_transformer, which consumes context pre-bottleneck).
-            assert not self.use_spatial_transformer, \
-                "shared-encoder CFG requires bottleneck-only conditioning"
-            k = context.shape[0] // h.shape[0]
-            h = jnp.concatenate([h] * k)
-            emb = jnp.concatenate([emb] * k)
-            hs = [jnp.concatenate([s] * k) for s in hs]
-        # ResBlockStyle: the style vector rides the embedding pathway
-        # (reference openaimodel.py:291-297, 636-643)
-        h = res(ch, "middle_block_1")(h, context.astype(self.dtype), train)
-        h = self._attn(ch, "middle_block_2")(h)
-        h = res(ch, "middle_block_3")(h, emb, train)
+        if not shallow:
+            # ---- bottleneck: ResBlock -> ResBlockStyle -> attention -> ResBlock
+            ch = h.shape[-1]
+            h = res(ch, "middle_block_0")(h, emb, train)
+            if context is None:
+                context = jnp.zeros((x.shape[0], self.context_dim), dtype=self.dtype)
+            if context.shape[0] != h.shape[0]:
+                # shared-encoder CFG fan-out: with style injected only at the
+                # bottleneck (the active architecture), the cond/uncond branches
+                # share the entire encoder. A context of batch k*B duplicates the
+                # bottleneck state k ways here and the decoder runs fanned out —
+                # identical math to k full passes at ~15% fewer FLOPs for k=2
+                # (invalid with use_spatial_transformer, which consumes context
+                # pre-bottleneck).
+                assert not self.use_spatial_transformer, \
+                    "shared-encoder CFG requires bottleneck-only conditioning"
+                k = context.shape[0] // h.shape[0]
+                h = jnp.concatenate([h] * k)
+                emb = jnp.concatenate([emb] * k)
+                hs = [jnp.concatenate([s] * k) for s in hs]
+            # ResBlockStyle: the style vector rides the embedding pathway
+            # (reference openaimodel.py:291-297, 636-643)
+            h = res(ch, "middle_block_1")(h, context.astype(self.dtype), train)
+            h = self._attn(ch, "middle_block_2")(h)
+            h = res(ch, "middle_block_3")(h, emb, train)
+        else:
+            # splice the cached deep feature in; if it carries a CFG fan-out
+            # (batch k*B from the full pass) fan the fresh shallow state to match
+            if cache.shape[0] != h.shape[0]:
+                k = cache.shape[0] // h.shape[0]
+                emb = jnp.concatenate([emb] * k)
+                hs = [jnp.concatenate([s] * k) for s in hs]
+            h = cache.astype(self.dtype)
 
         # ---- decoder ---------------------------------------------------------
-        block_idx = 0
-        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+        cache_out = None
+        dec_top = cache_levels if shallow else n_levels
+        for level in range(dec_top - 1, -1, -1):
+            mult = self.channel_mult[level]
+            ds = 2 ** level
             for i in range(self.num_res_blocks + 1):
+                block_idx = (n_levels - 1 - level) * (self.num_res_blocks + 1) + i
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 h = res(mult * mc, f"output_blocks_{block_idx}_0")(h, emb, train)
                 if ds in self.attention_resolutions:
@@ -213,9 +256,12 @@ class UNet(nn.Module):
                     else:
                         h = Upsample(use_conv=self.conv_resample, dtype=self.dtype,
                                      name=f"output_blocks_{block_idx}_up")(h)
-                    ds //= 2
-                block_idx += 1
+            if return_cache and level == cache_levels:
+                cache_out = h  # post-upsample state entering level cache_levels-1
 
         h = nn.silu(GroupNorm32(dtype=self.dtype, name="out_norm")(h))
         h = conv3x3(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")(h)
-        return h.astype(in_dtype)
+        out = h.astype(in_dtype)
+        if return_cache:
+            return out, cache_out
+        return out

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from stedm_tpu.core.ddim import DDIMParams, ddim_sample
+from stedm_tpu.core.ddim import DDIMParams, ddim_sample, ddim_sample_cached
 from stedm_tpu.core.diffusion import p_losses
 from stedm_tpu.core.schedules import DiffusionSchedule
 from stedm_tpu.models.stedm import STEDM
@@ -52,22 +52,50 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
     )
 
 
+def init_logvar(params: dict, num_timesteps: int, logvar_init: float = 0.0) -> dict:
+    """Add the per-timestep log-variance buffer as a trainable top-level param
+    group (reference ddpm.py:113-117 registers it; ldm_diffusion.py:228-229 adds it
+    to the optimizer when ``learn_logvar``). The optimizer's label fn treats any
+    non-frozen top-level group as trainable, so no optimizer change is needed."""
+    return {**params, "logvar": jnp.full((num_timesteps,), logvar_init, jnp.float32)}
+
+
+def compute_scale_by_std(model: STEDM, params, images: jnp.ndarray) -> float:
+    """First-batch latent std rescale (reference ddpm.py:480-494): returns
+    ``1 / std(z)`` over the encoded first batch. The caller bakes it in with
+    ``model.clone(scale_factor=sf)`` — a static constant under jit, matching the
+    reference's set-once-at-batch-0 buffer semantics."""
+    if float(model.scale_factor) != 1.0:
+        raise ValueError("rather not use custom rescaling and std-rescaling "
+                         "simultaneously (reference ddpm.py:483)")
+    z = model.apply({"params": params}, images, method=model.encode_first_stage)
+    return float(1.0 / jnp.std(z))
+
+
 def make_train_step(model: STEDM, schedule: DiffusionSchedule,
                     tx: optax.GradientTransformation, *,
-                    loss_type: str = "l1", use_ema: bool = True) -> Callable:
+                    loss_type: str = "l1", use_ema: bool = True,
+                    learn_logvar: bool = False,
+                    logvar_init: float = 0.0) -> Callable:
     """Build the jittable train step.
 
     ``batch``: dict with image [B,P,P,3], segmentation [B,P,P,2] one-hot,
     style_imgs [B,N,P,P,3] (style-drop already applied on the host side, matching
     the reference's dataset-side drop, flowers_ds.py:62-63).
+
+    ``learn_logvar``: the per-timestep logvar buffer lives in the param tree
+    (``init_logvar``) and receives gradients; otherwise a static buffer of
+    ``logvar_init`` is used (zeros = the shipped config, reference ddpm.py:113-117).
     """
+    static_logvar = (jnp.full((schedule.num_timesteps,), logvar_init, jnp.float32)
+                     if logvar_init else None)
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         rng_t, rng_noise = jax.random.split(rng)
 
         def loss_fn(params):
-            var = {"params": params}
+            var = {"params": {k: v for k, v in params.items() if k != "logvar"}}
             z = model.apply(var, batch["image"], method=model.encode_first_stage)
             seg_cond = model.apply(var, batch["segmentation"], method=model.cond_encode)
             style = model.apply(var, batch["style_imgs"], True,
@@ -89,7 +117,9 @@ def make_train_step(model: STEDM, schedule: DiffusionSchedule,
                 return model.apply(var, z_noisy, t_, seg_cond, style, True,
                                    method=model.eps)
 
-            loss, aux = p_losses(eps_fn, schedule, z, t, noise, loss_type=loss_type)
+            logvar = params["logvar"] if learn_logvar else static_logvar
+            loss, aux = p_losses(eps_fn, schedule, z, t, noise, loss_type=loss_type,
+                                 logvar=logvar)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -122,6 +152,70 @@ class SamplerConfig:
     latent_channels: int = 3
     downsample: int = 4           # VQ-f4
     method: str = "ddim"          # ddim | plms | dpm (DPM-Solver++ 2M)
+    cache_interval: int = 1       # >1: DeepCache-style deep-feature reuse (serving
+    cache_levels: int = 1         # mode; 1 = off = exact reference trajectory)
+    tile_stride_frac: float = 0.75  # latent tile stride (fraction of the latent
+                                    # patch) for canvases larger than the patch
+
+
+def _sample_tiled(model: STEDM, cfg: SamplerConfig, ddim: DDIMParams, var: dict,
+                  seg_cond: jnp.ndarray, style_c: jnp.ndarray, batch: dict,
+                  x_T: jnp.ndarray, use_cfg: bool, b: int) -> jnp.ndarray:
+    """Canvas sampling: every eps evaluation runs over overlapping latent tiles
+    stitched with the weight window, then a tiled VQ decode (the reference's
+    fold/unfold role, ddpm.py:905-987). CFG packs the cond/uncond pair into the
+    tile's channel axis so both branches stitch in one pass."""
+    from stedm_tpu.ops.tiled import tiled_apply
+
+    if cfg.cache_interval > 1:
+        raise ValueError("deep-feature caching is not supported on the tiled "
+                         "canvas path")
+    bottleneck_only = (not model.unet_config.get("use_spatial_transformer", False)
+                       and model.conditioning_key == "hybrid")
+    if use_cfg and not (cfg.batched_cfg and bottleneck_only):
+        raise ValueError("tiled canvases with CFG require batched_cfg and "
+                         "bottleneck-only conditioning (shared-encoder fan-out)")
+
+    lat_patch = model.patch_size // cfg.downsample
+    stride = max(1, int(lat_patch * cfg.tile_stride_frac))
+    c_lat = cfg.latent_channels
+    c_cond = seg_cond.shape[-1]
+
+    if use_cfg:
+        style_u = model.apply(var, jnp.zeros_like(batch["style_imgs"]) - 2.0,
+                              method=model.style_encode)
+        ctx2 = jnp.concatenate([style_c, style_u])
+
+        def eps_fn(x, t):
+            canvas = jnp.concatenate([x, seg_cond.astype(x.dtype)], axis=-1)
+
+            def tile_fn(tile):
+                # shared-encoder fan-out: ctx2 at 2B, tile at B -> eps at 2B
+                e = model.apply(var, tile[..., :c_lat], t, tile[..., c_lat:],
+                                ctx2, method=model.eps)
+                return jnp.concatenate([e[:b], e[b:]], axis=-1)
+
+            out = tiled_apply(tile_fn, canvas, lat_patch, stride,
+                              out_channels=2 * c_lat)
+            return out[..., :c_lat], out[..., c_lat:]
+    else:
+        def eps_fn(x, t):
+            canvas = jnp.concatenate([x, seg_cond.astype(x.dtype)], axis=-1)
+
+            def tile_fn(tile):
+                return model.apply(var, tile[..., :c_lat], t, tile[..., c_lat:],
+                                   style_c, method=model.eps)
+
+            return tiled_apply(tile_fn, canvas, lat_patch, stride,
+                               out_channels=c_lat)
+
+    scale = cfg.cfg_scale if use_cfg else 1.0
+    z_0 = ddim_sample(eps_fn, x_T, ddim, cfg_scale=scale,
+                      rescale_phi=cfg.rescale_phi)
+    img = tiled_apply(
+        lambda z: model.apply(var, z, method=model.decode_first_stage),
+        z_0, lat_patch, stride, out_channels=3, scale=cfg.downsample)
+    return jnp.clip(img, -1.0, 1.0)
 
 
 def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
@@ -131,12 +225,18 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
     Returns images in [-1, 1], [B,P,P,3]. The uncond branch uses the same layout
     with dropped (constant -2) style images (ldm_diffusion.py:86).
+
+    Canvases larger than the training patch (segmentation H > model.patch_size)
+    run every eps evaluation and the final decode through overlapping latent tiles
+    with weighted stitching (`stedm_tpu.ops.tiled`) — the active counterpart of
+    the reference's dormant fold/unfold path (reference ddpm.py:905-987).
     """
     ddim = DDIMParams.create(schedule, cfg.ddim_steps, cfg.eta)
     use_cfg = cfg.use_cfg and cfg.cfg_scale != 1.0
 
     def sample(params, batch: dict, rng: jax.Array) -> jnp.ndarray:
-        var = {"params": params}
+        # the logvar buffer (when trained) is a loss-only param group
+        var = {"params": {k: v for k, v in params.items() if k != "logvar"}}
         seg = batch["segmentation"]
         b, p = seg.shape[0], seg.shape[1]
         seg_cond = model.apply(var, seg, method=model.cond_encode)
@@ -144,6 +244,11 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
         latent = (b, p // cfg.downsample, p // cfg.downsample, cfg.latent_channels)
         x_T = jax.random.normal(rng, latent, dtype=jnp.float32)
+
+        tiled = p > model.patch_size
+        if tiled:
+            return _sample_tiled(model, cfg, ddim, var, seg_cond, style_c, batch,
+                                 x_T, use_cfg, b)
 
         if not use_cfg:
             def eps_fn(x, t):
@@ -179,7 +284,39 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                     return e_c, e_u
 
         scale = cfg.cfg_scale if use_cfg else 1.0
-        if cfg.method == "plms":
+        if cfg.cache_interval > 1:
+            if cfg.method != "ddim":
+                raise ValueError("cache_interval > 1 is only supported for DDIM")
+            if use_cfg and not (cfg.batched_cfg and bottleneck_only):
+                raise ValueError(
+                    "cache_interval > 1 with CFG requires batched_cfg and "
+                    "bottleneck-only conditioning (shared-encoder fan-out)")
+
+            if use_cfg:
+                ctx2_c = jnp.concatenate([style_c, style_u])
+
+                def eps_full_fn(x, t):
+                    e, cache = model.apply(var, x, t, seg_cond, ctx2_c,
+                                           cfg.cache_levels, method=model.eps_full)
+                    return (e[:b], e[b:]), cache
+
+                def eps_cached_fn(x, t, cache):
+                    e = model.apply(var, x, t, seg_cond, cache, cfg.cache_levels,
+                                    method=model.eps_cached)
+                    return (e[:b], e[b:])
+            else:
+                def eps_full_fn(x, t):
+                    return model.apply(var, x, t, seg_cond, style_c,
+                                       cfg.cache_levels, method=model.eps_full)
+
+                def eps_cached_fn(x, t, cache):
+                    return model.apply(var, x, t, seg_cond, cache,
+                                       cfg.cache_levels, method=model.eps_cached)
+
+            z_0 = ddim_sample_cached(eps_full_fn, eps_cached_fn, x_T, ddim,
+                                     cache_interval=cfg.cache_interval,
+                                     cfg_scale=scale, rescale_phi=cfg.rescale_phi)
+        elif cfg.method == "plms":
             from stedm_tpu.core.plms import plms_sample
 
             z_0 = plms_sample(eps_fn, x_T, ddim, cfg_scale=scale,

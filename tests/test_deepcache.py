@@ -1,0 +1,114 @@
+"""Cross-step deep-feature reuse (DeepCache-style serving mode).
+
+Contract: `cache_interval=1` is bit-identical to the plain scanned DDIM sampler
+(and therefore to the reference trajectory, see tests/test_trajectory_parity.py);
+`cache_interval>1` is an approximation whose deviation is bounded here on a tiny
+model. The reference has no counterpart — it runs two fresh full U-Net passes per
+step (reference ldm/models/diffusion/ddim.py:177-178)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stedm_tpu.core.ddim import DDIMParams, ddim_sample, ddim_sample_cached
+from stedm_tpu.core.schedules import DiffusionSchedule
+from stedm_tpu.models.stedm import STEDM
+from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    patch = 32
+    model = STEDM(
+        unet_config=dict(in_channels=6, out_channels=3, model_channels=32,
+                         num_res_blocks=1, channel_mult=(1, 4, 8), num_heads=4,
+                         attention_resolutions=(32, 16, 8)),
+        first_stage_config=dict(embed_dim=3, n_embed=128, ddconfig=dict(
+            double_z=False, z_channels=3, resolution=patch, in_channels=3, out_ch=3,
+            ch=32, ch_mult=[1, 2, 4], num_res_blocks=1, attn_resolutions=[],
+            dropout=0.0)),
+        cond_stage_config=dict(n_stages=2, in_channels=2, out_channels=3),
+        style_agg="mean", style_sampling="nearby", patch_size=patch,
+    )
+    rng = jax.random.PRNGKey(0)
+    b = 2
+    batch = {
+        "segmentation": jnp.zeros((b, patch, patch, 2)).at[..., 0].set(1.0),
+        "style_imgs": jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, (b, 1, patch, patch, 3)),
+            jnp.float32),
+    }
+    img = jnp.zeros((b, patch, patch, 3), jnp.float32)
+    params = model.init(rng, img, batch["segmentation"], batch["style_imgs"],
+                        jnp.zeros((b,), jnp.int32))["params"]
+    # lift zero-init output convs so CFG rescale stds are non-degenerate
+    params = jax.tree_util.tree_map(lambda p: p + 0.01 if p.ndim == 4 else p, params)
+    schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
+    return model, params, batch, schedule
+
+
+def _sample(tiny, **kw):
+    model, params, batch, schedule = tiny
+    cfg = SamplerConfig(ddim_steps=kw.pop("ddim_steps", 6), eta=0.0,
+                        cfg_scale=kw.pop("cfg_scale", 1.5), rescale_phi=0.7,
+                        batched_cfg=True, downsample=4, **kw)
+    fn = jax.jit(make_sample_fn(model, schedule, cfg))
+    return np.asarray(fn(params, batch, jax.random.PRNGKey(3)))
+
+
+def test_interval_1_bit_identical(tiny):
+    base = _sample(tiny, cache_interval=1)
+    blocked = _sample(tiny, cache_interval=1, cache_levels=1)
+    np.testing.assert_array_equal(base, blocked)
+
+
+def test_cached_close_to_full(tiny):
+    base = _sample(tiny, ddim_steps=8, cache_interval=1)
+    cached = _sample(tiny, ddim_steps=8, cache_interval=2)
+    assert np.all(np.isfinite(cached))
+    assert cached.shape == base.shape
+    # approximation, not identity: deviation bounded, correlation high
+    assert not np.array_equal(base, cached)
+    denom = np.sqrt((base ** 2).mean()) + 1e-8
+    rel = np.sqrt(((base - cached) ** 2).mean()) / denom
+    assert rel < 0.35, rel
+
+
+def test_ragged_interval_padding(tiny):
+    # 7 steps, interval 3 -> 3 blocks with 2 masked pad steps
+    out = _sample(tiny, ddim_steps=7, cache_interval=3)
+    assert np.all(np.isfinite(out))
+
+
+def test_cache_levels_2(tiny):
+    out = _sample(tiny, ddim_steps=6, cache_interval=2, cache_levels=2)
+    assert np.all(np.isfinite(out))
+
+
+def test_no_cfg_cached_path(tiny):
+    out = _sample(tiny, ddim_steps=6, cache_interval=2, cfg_scale=1.0)
+    assert np.all(np.isfinite(out))
+
+
+def test_cached_matches_full_when_refreshed_every_step_raw():
+    """At the raw sampler level: interval-1 blocked scan == plain scan, with a
+    synthetic eps pair that exercises the CFG branch."""
+    schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
+    params = DDIMParams.create(schedule, 5)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+
+    def eps_pair(x, t):
+        e = 0.1 * x + 0.01 * t[:, None, None, None].astype(jnp.float32)
+        return e, 0.9 * e
+
+    def eps_full(x, t):
+        return eps_pair(x, t), jnp.zeros((2, 1))
+
+    def eps_cached(x, t, cache):
+        return eps_pair(x, t)
+
+    a = np.asarray(ddim_sample(eps_pair, x_T, params, cfg_scale=1.5))
+    b = np.asarray(ddim_sample_cached(eps_full, eps_cached, x_T, params,
+                                      cache_interval=1, cfg_scale=1.5))
+    np.testing.assert_array_equal(a, b)
