@@ -69,16 +69,34 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+        # multi-host: (process_index, process_count). Every process draws the SAME
+        # permutation (seeded), pads it by wrapping to a multiple of process_count,
+        # and takes the rank-interleaved slice — torch DistributedSampler semantics
+        # (the reference relies on Lightning's DDP sampler injection), so all
+        # processes run the same number of batches in lockstep.
+        self.process_shard: tuple[int, int] | None = None
+
+    def _shard(self) -> tuple[int, int]:
+        return self.process_shard or (0, 1)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        pi, pc = self._shard()
+        n = -(-len(self.dataset) // pc)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
-            return np.random.default_rng(self.seed + self.epoch).permutation(n)
-        return np.arange(n)
+            idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
+        else:
+            idx = np.arange(n)
+        pi, pc = self._shard()
+        if pc > 1:
+            pad = (-n) % pc
+            if pad:  # wrap like DistributedSampler so ranks stay in lockstep
+                idx = np.concatenate([idx, idx[:pad]])
+            idx = idx[pi::pc]
+        return idx
 
     def __iter__(self) -> Iterator[tuple]:
         import inspect

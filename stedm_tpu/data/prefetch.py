@@ -24,8 +24,11 @@ def prefetch_to_device(iterator: Iterable, *, size: int = 2,
         if transform is not None:
             batch = transform(batch)
         if sharding is not None:
+            # multi-host aware: local rows -> global sharded array
+            from stedm_tpu.parallel.mesh import host_to_global
+
             batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch)
+                lambda x: host_to_global(sharding, x), batch)
         else:
             batch = jax.tree_util.tree_map(jax.device_put, batch)
         queue.append(batch)

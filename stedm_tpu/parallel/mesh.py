@@ -61,7 +61,42 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def local_batch_size(global_batch: int) -> int:
+    """Per-process share of the global batch (multi-host data contract: every
+    process loads only its own rows; `host_to_global` assembles the global array)."""
+    pc = jax.process_count()
+    if global_batch % pc:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{pc} processes")
+    return global_batch // pc
+
+
+def host_to_global(sharding: NamedSharding, x) -> jax.Array:
+    """Process-local host rows -> global device array sharded over the batch axis.
+
+    Single-process: a plain `device_put`. Multi-host: each process contributes its
+    local rows via `jax.make_array_from_process_local_data` (the global shape is
+    inferred; rows are laid out process-contiguously in mesh-device order), the
+    JAX counterpart of DDP's per-rank batches.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put a host batch pytree with its leading axis sharded over ``axis``."""
+    """Host batch pytree (process-local rows) -> global arrays sharded over
+    ``axis``. Single-process: local == global."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(lambda x: host_to_global(sharding, x), batch)
+
+
+def local_rows(global_array: jax.Array) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in global row order
+    (single-process: the whole array). Inverse of `host_to_global` for outputs
+    that keep the batch sharding — replicated minor axes are deduplicated."""
+    shards = {}
+    for s in global_array.addressable_shards:
+        start = s.index[0].start or 0
+        shards.setdefault(start, np.asarray(s.data))
+    return np.concatenate([shards[k] for k in sorted(shards)])
