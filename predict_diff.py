@@ -41,6 +41,9 @@ from train_diff import batch_to_ldm
 
 def main(argv: list[str]) -> None:
     cfg = compose("config_predict", argv)
+    import stedm_tpu
+
+    stedm_tpu.enable_compile_cache()
     maybe_initialize_distributed()
 
     if cfg.data.batch_size is None:
@@ -86,6 +89,13 @@ def main(argv: list[str]) -> None:
             1e-4,
             style_encoder_trainable=cfg.diffusion.get("style_encoder_trainable", True),
             accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4))
+        if cfg.diffusion.get("learn_logvar", False):
+            # runs trained with learn_logvar carry the logvar group in the
+            # checkpointed tree (sampling strips it later)
+            from stedm_tpu.train.steps import init_logvar
+
+            params = init_logvar(params, cfg.diffusion.timesteps,
+                                 cfg.diffusion.get("logvar_init", 0.0))
         state = create_train_state(params, tx)
         state = checkpoints.restore(Path(ckpt_path).parent, state,
                                     name=Path(ckpt_path).name)
@@ -104,7 +114,12 @@ def main(argv: list[str]) -> None:
         ddim_steps=cfg.ddim_steps, eta=cfg.eta, cfg_scale=cfg.cfg_scale,
         rescale_phi=cfg.get("rescale_phi", 0.7),
         batched_cfg=cfg.get("batched_cfg", True), use_cfg=use_cfg, downsample=4,
-        method=cfg.get("sampler", "ddim"))
+        method=cfg.get("sampler", "ddim"),
+        # serving mode: `+cache_interval=3` enables cross-step deep-feature reuse
+        # (~2.3x sampling throughput, see BASELINE.md round-2 table); default 1 =
+        # exact reference trajectory
+        cache_interval=int(cfg.get("cache_interval", 1)),
+        cache_levels=int(cfg.get("cache_levels", 1)))
 
     rep = replicated(mesh)
     dp = batch_sharding(mesh)
@@ -112,24 +127,61 @@ def main(argv: list[str]) -> None:
     sample = jax.jit(make_sample_fn(model, schedule, sampler_cfg),
                      in_shardings=(rep, dp, None), out_shardings=dp)
 
+    # multi-host: rank-interleaved predict grid (the reference's DDP predict
+    # sampler, predict_diff.py:84-89); each process loads/writes only its share
+    from stedm_tpu.parallel.mesh import local_batch_size, local_rows
+
+    n_local_devices = max(1, n_devices // jax.process_count())
     loader = dm.predict_loader()
-    loader.batch_size = global_batch
+    loader.batch_size = local_batch_size(global_batch)
+    loader.process_shard = (jax.process_index(), jax.process_count())
     loader.drop_last = False
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    # canvases larger than the training patch (`+canvas_size=512` with patch 256):
+    # adjacent layout patches are mosaicked into one canvas and synthesized in a
+    # single trajectory via tiled eps/decode with weighted stitching (the
+    # reference's fold/unfold role, ddpm.py:905-987; see train/steps._sample_tiled)
+    canvas = int(cfg.get("canvas_size", 0) or 0)
+    grid = 1
+    if canvas > p:
+        if canvas % p:
+            raise SystemExit(f"canvas_size {canvas} must be a multiple of the "
+                             f"training patch {p}")
+        grid = canvas // p
 
     for batch_idx, np_batch in enumerate(loader):
         ldm_batch = batch_to_ldm(np_batch)
         indices = np.asarray(np_batch[4])
+        if grid > 1:
+            g = grid * grid
+            n = ldm_batch["segmentation"].shape[0] // g
+            if n == 0:
+                print(f"batch {batch_idx}: fewer than {g} layouts, skipping")
+                continue
+
+            def mosaic(x):  # [n*g, p, p, C] -> [n, grid*p, grid*p, C]
+                x = x[:n * g].reshape(n, grid, grid, p, p, x.shape[-1])
+                return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    n, grid * p, grid * p, x.shape[-1])
+
+            ldm_batch = {
+                "image": ldm_batch["image"][:n * g:g],  # unused by sampling
+                "segmentation": mosaic(ldm_batch["segmentation"]),
+                "style_imgs": ldm_batch["style_imgs"][:n * g:g],  # one style/canvas
+            }
+            indices = indices[:n * g:g]
         b = ldm_batch["image"].shape[0]
-        if b % n_devices:  # pad ragged final batch for even sharding
-            pad = n_devices - b % n_devices
-            # cycle rows so padding works even when pad > b (tiny final batches)
+        if b % n_local_devices:  # pad ragged final batch for even sharding
+            pad = n_local_devices - b % n_local_devices
+            # cycle rows so padding works even when pad > b (tiny final batches);
+            # all processes see the same ragged size (wrap-padded index shards)
             ldm_batch = {k: np.resize(v, (b + pad,) + v.shape[1:])
                          for k, v in ldm_batch.items()}
-        batch = shard_batch(mesh, {k: jnp.asarray(v) for k, v in ldm_batch.items()
+        batch = shard_batch(mesh, {k: np.asarray(v) for k, v in ldm_batch.items()
                                    if k != "image"})
         imgs = sample(params, batch, jax.random.fold_in(rng, batch_idx))
-        imgs = np.asarray(jax.device_get(imgs))[:b]
+        imgs = local_rows(imgs)[:b]  # this process's rows of the global output
         segs = np.argmax(ldm_batch["segmentation"][:b], axis=-1).astype(np.uint8)
         for img, seg, num in zip(imgs, segs, indices):
             num_str = str(int(num)).zfill(5)

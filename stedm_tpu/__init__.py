@@ -9,3 +9,27 @@ this package so parity can be audited.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache(path: str = "/tmp/stedm_jax_cache") -> None:
+    """Entry-point runtime setup, called first by train_diff/train_seg/predict_diff.
+
+    * Point JAX's persistent compilation cache at ``path`` so repeated CLI
+      invocations skip XLA recompiles — on the remote-compile TPU tunnel a cold
+      flagship compile is minutes, a cached one is seconds.
+    * Honor the ``JAX_PLATFORMS`` env var: environments that pre-set
+      ``jax_platforms`` via sitecustomize (this sandbox forces a remote TPU
+      backend) silently override the env var; mirroring it back restores the
+      standard JAX contract (``JAX_PLATFORMS=cpu python train_diff.py ...`` runs
+      on the host CPU mesh).
+    """
+    import os
+
+    import jax
+
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        jax.config.update("jax_platforms", plats)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -26,8 +26,16 @@ class EventLogger:
             try:
                 import wandb
 
+                # run-id persistence: resuming a training run re-attaches to the
+                # same W&B run (reference ldm_diffusion.py:122-125 stashes the id
+                # in hparams; here it lives next to the event log)
+                id_file = self.run_dir / "wandb_id.txt"
+                kwargs = {}
+                if id_file.is_file():
+                    kwargs = dict(id=id_file.read_text().strip(), resume="allow")
                 self._wandb = wandb.init(project="stedm_tpu", name=run_name,
-                                         config=config or {})
+                                         config=config or {}, **kwargs)
+                id_file.write_text(self._wandb.id)
             except Exception as exc:  # pragma: no cover - needs egress
                 print(f"[logging] wandb unavailable ({exc}); using JSONL only")
 

@@ -90,8 +90,9 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     cond = np.zeros((32, 32), np.uint8)
     cond[8:24, 8:24] = 255
     Image.fromarray(cond).save(preview_dir / "test_c.png")
-    style_img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), np.uint8)
-    Image.fromarray(style_img).save(preview_dir / "augmented" / "0_img.png")
+    for i in range(2):  # CFG previews use the first two styles (ldm_diffusion.py:195)
+        style_img = np.random.default_rng(i).integers(0, 255, (32, 32, 3), np.uint8)
+        Image.fromarray(style_img).save(preview_dir / "augmented" / f"{i}_img.png")
 
     result_dir = tmp_path / "results"
     overrides = TINY_OVERRIDES + CLASS_OVERRIDES + [
@@ -99,11 +100,19 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
         f"location.result_dir={result_dir}",
         "accumulate_grad_batches=1",
         "+preview_ddim_steps=4",
+        # LatentDiffusion knobs (reference ddpm.py:113-117, 480-494), default-off
+        "+diffusion.learn_logvar=true",
+        "+diffusion.scale_by_std=true",
     ]
 
     td.main(overrides)
-    previews = list((result_dir / "diff_flowers_augmented_mean" / "previews").glob("*.png"))
+    run_dir = result_dir / "diff_flowers_augmented_mean"
+    previews = list((run_dir / "previews").glob("Sample_Images_[0-9]*.png"))
     assert previews, "epoch-end preview images not written"
+    cfg_previews = list((run_dir / "previews").glob("Sample_Images_CFG_*.png"))
+    # style_drop_rate 0.25 > 0: guidance-3/5 variants on 2 styles (4 images)
+    assert len(cfg_previews) == 4, cfg_previews
+    assert (run_dir / "scale_factor.json").is_file()
 
     # preemption-style resume: continue into a second epoch from the checkpoint
     td.main(overrides + ["+resume=true", "num_epochs=2"])
@@ -134,6 +143,18 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     ])
     dp_dir = flowers_dir / "syn_data" / "flowers_dp"
     assert len(list(dp_dir.glob("img_*.png"))) >= 2
+
+    # canvas synthesis: 4 layout patches mosaicked into one 64^2 canvas, sampled
+    # through the tiled eps/decode path (reference fold/unfold role, ddpm.py:905-987)
+    pd.main(overrides + [
+        "data.samples=2", "data.batch_size=4", "ddim_steps=4", "cfg_scale=1.5",
+        "+canvas_size=64", "+predict_name=flowers_canvas",
+    ])
+    canvas_dir = flowers_dir / "syn_data" / "flowers_canvas"
+    canvas_imgs = list(canvas_dir.glob("img_*.png"))
+    assert canvas_imgs, "no canvas images written"
+    arr = np.array(Image.open(canvas_imgs[0]))
+    assert arr.shape == (64, 64, 3)
 
     # generated pairs round-trip through the syn data module
     from stedm_tpu.config import compose

@@ -166,3 +166,61 @@ def test_data_parallel_step_matches_single_device(setup):
     s2, m_dp = step_dp(state_sharded, batch_sharded, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_learn_logvar_trains_and_checkpoints(setup):
+    """Reference ddpm.py:113-117 + ldm_diffusion.py:228-229: the per-timestep
+    logvar buffer is trainable and included in the optimizer when learn_logvar."""
+    from stedm_tpu.train.steps import init_logvar
+
+    model, params, schedule, batch = setup
+    params_lv = init_logvar(dict(params), schedule.num_timesteps, logvar_init=0.0)
+    assert params_lv["logvar"].shape == (schedule.num_timesteps,)
+
+    tx = make_optimizer(1e-2, accumulate_grad_batches=1)
+    state = create_train_state(params_lv, tx)
+    step = jax.jit(make_train_step(model, schedule, tx, learn_logvar=True))
+    for _ in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    delta = np.abs(np.asarray(state.params["logvar"])).max()
+    assert delta > 0.0, "logvar received no updates"
+    # sampling strips the loss-only logvar group
+    cfg = SamplerConfig(ddim_steps=2, cfg_scale=1.0, use_cfg=False, downsample=4)
+    img = jax.jit(make_sample_fn(model, schedule, cfg))(
+        state.params, batch, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_static_logvar_init_shifts_loss(setup):
+    """A non-zero static logvar_init changes the weighted loss but not
+    loss_simple (reference p_losses, ddpm.py:1030-1035)."""
+    model, params, schedule, batch = setup
+    tx = make_optimizer(1e-3, accumulate_grad_batches=1)
+    s0 = create_train_state(params, tx)
+    step0 = jax.jit(make_train_step(model, schedule, tx))
+    step1 = jax.jit(make_train_step(model, schedule, tx, logvar_init=0.5))
+    _, m0 = step0(s0, batch, jax.random.PRNGKey(3))
+    s1 = create_train_state(params, tx)
+    _, m1 = step1(s1, batch, jax.random.PRNGKey(3))
+    assert np.isclose(float(m0["loss_simple"]), float(m1["loss_simple"]), rtol=1e-5)
+    assert not np.isclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-4)
+
+
+def test_scale_by_std(setup):
+    """First-batch std rescale (reference ddpm.py:480-494): after cloning with
+    the computed factor, encodings have unit std; a non-1 preset factor raises."""
+    from stedm_tpu.train.steps import compute_scale_by_std
+
+    model, params, schedule, batch = setup
+    sf = compute_scale_by_std(model, params, batch["image"])
+    assert np.isfinite(sf) and sf > 0
+    scaled = model.clone(scale_factor=sf)
+    z = scaled.apply({"params": params}, batch["image"],
+                     method=scaled.encode_first_stage)
+    assert abs(float(jnp.std(z)) - 1.0) < 1e-3
+    # round trip through decode still works at the rescaled factor
+    img = scaled.apply({"params": params}, z, method=scaled.decode_first_stage)
+    assert np.all(np.isfinite(np.asarray(img)))
+    with pytest.raises(ValueError):
+        compute_scale_by_std(scaled, params, batch["image"])

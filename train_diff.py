@@ -55,6 +55,9 @@ def batch_to_ldm(np_batch: tuple) -> dict:
 
 def main(argv: list[str]) -> None:
     cfg = compose("config_diff", argv)
+    import stedm_tpu
+
+    stedm_tpu.enable_compile_cache()
     maybe_initialize_distributed()
 
     # derived values (reference train_diff.py:36-39)
@@ -110,6 +113,47 @@ def main(argv: list[str]) -> None:
     schedule = DiffusionSchedule.create(
         cfg.diffusion.beta_schedule, cfg.diffusion.timesteps,
         cfg.diffusion.linear_start, cfg.diffusion.linear_end)
+
+    # multi-host data contract: each process loads only its rank-interleaved
+    # share of the global batch (DistributedSampler semantics); host_to_global
+    # assembles the sharded global arrays inside the prefetcher
+    from stedm_tpu.parallel.mesh import local_batch_size
+
+    loader = dm.train_loader(seed=cfg.get("seed", 0))
+    loader.batch_size = local_batch_size(global_batch)
+    loader.process_shard = (jax.process_index(), jax.process_count())
+
+    # first-batch latent std rescale (reference ddpm.py:480-494); the factor is
+    # persisted so resumes reproduce restarted_from_ckpt semantics (set once, kept)
+    if cfg.diffusion.get("scale_by_std", False):
+        import json
+        import os
+
+        from stedm_tpu.train.steps import compute_scale_by_std
+
+        sf_file = f"{result_dir}/scale_factor.json"
+        if os.path.isfile(sf_file):
+            with open(sf_file) as f:
+                sf = json.load(f)["scale_factor"]
+        else:
+            first = batch_to_ldm(next(iter(loader)))
+            loader.epoch = 0  # the peek must not consume an epoch's permutation
+            sf = compute_scale_by_std(model, params, jnp.asarray(first["image"]))
+            if jax.process_index() == 0:
+                with open(sf_file, "w") as f:
+                    json.dump({"scale_factor": sf}, f)
+        print(f"### USING STD-RESCALING ### scale_factor={sf:.6f}")
+        model = model.clone(scale_factor=sf)
+
+    learn_logvar = cfg.diffusion.get("learn_logvar", False)
+    logvar_init = cfg.diffusion.get("logvar_init", 0.0)
+    if learn_logvar:
+        # trainable per-timestep logvar rides the param tree (ddpm.py:113-117,
+        # optimizer inclusion per ldm_diffusion.py:228-229)
+        from stedm_tpu.train.steps import init_logvar
+
+        params = init_logvar(params, cfg.diffusion.timesteps, logvar_init)
+
     tx = make_optimizer(
         lr, style_encoder_trainable=cfg.diffusion.get("style_encoder_trainable", True),
         accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4),
@@ -132,11 +176,11 @@ def main(argv: list[str]) -> None:
     dp = batch_sharding(mesh)
     state = jax.device_put(state, rep)
     train_step = jax.jit(make_train_step(model, schedule, tx,
-                                         loss_type=cfg.diffusion.get("loss_type", "l1")),
+                                         loss_type=cfg.diffusion.get("loss_type", "l1"),
+                                         learn_logvar=learn_logvar,
+                                         logvar_init=logvar_init),
                          in_shardings=(rep, dp, rep), out_shardings=rep, donate_argnums=0)
 
-    loader = dm.train_loader(seed=cfg.get("seed", 0))
-    loader.batch_size = global_batch
     step_rng = jax.random.PRNGKey(cfg.get("seed", 0) + 1)
 
     from stedm_tpu.data.prefetch import prefetch_to_device
@@ -162,9 +206,42 @@ def main(argv: list[str]) -> None:
     logger.close()
 
 
+def _load_preview_styles(cfg, folder: str) -> list[np.ndarray]:
+    """The reference's 4 fixed test styles (ldm_diffusion.py:145-172): 'nearby'
+    loads {i}_img.png, 'mp' concatenates {i}_img_{j}.png over the set axis,
+    'dummy' uses a constant -1 set."""
+    import os
+
+    from PIL import Image
+
+    load = lambda f: (np.array(Image.open(f))[:, :, :3].astype(np.float32)
+                      / 127.5 - 1)
+    style_dir = f"{folder}/{cfg.style_sampling.name}"
+    styles = []
+    if cfg.style_sampling.name == "dummy":
+        p = cfg.data.patch_size
+        return [np.full((1, 1, p, p, 3), -1.0, np.float32)] * 4
+    for i in range(4):
+        if cfg.style_sampling.name == "mp":
+            parts = []
+            for j in range(cfg.style_sampling.get("num_patches", 1)):
+                f = f"{style_dir}/{i}_img_{j}.png"
+                if os.path.isfile(f):
+                    parts.append(load(f)[None, None])
+            if parts:
+                styles.append(np.concatenate(parts, axis=1))
+        else:
+            f = f"{style_dir}/{i}_img.png"
+            if os.path.isfile(f):
+                styles.append(load(f)[None, None])
+    return styles
+
+
 def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
     """Epoch-end fixed-style previews (reference ldm_diffusion.py:128-221), gated on
-    the test folder existing on disk."""
+    the test folder existing on disk: 4 unguided samples at 128 DDIM steps, plus —
+    when style drop is active — CFG variants at guidance scales 3 and 5 on the
+    first two styles (ldm_diffusion.py:195-221)."""
     import os
 
     test_folder = cfg.data.get("test_folder")
@@ -175,7 +252,6 @@ def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
         return
     from PIL import Image
 
-    p = cfg.data.patch_size
     cond_path = f"{folder}/test_c.png"
     if not os.path.isfile(cond_path):
         return
@@ -183,13 +259,7 @@ def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
     test_img = (test_img > 0).astype(np.int64)
     one_hot = np.eye(2, dtype=np.float32)[test_img][None]
 
-    style_dir = f"{folder}/{cfg.style_sampling.name}"
-    styles = []
-    for i in range(4):
-        f = f"{style_dir}/{i}_img.png"
-        if os.path.isfile(f):
-            arr = np.array(Image.open(f))[:, :, :3].astype(np.float32) / 127.5 - 1
-            styles.append(arr[None, None])
+    styles = _load_preview_styles(cfg, folder)
     if not styles:
         return
 
@@ -203,6 +273,21 @@ def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
         img = sample(state.params, batch, jax.random.PRNGKey(epoch))
         imgs.append(np.asarray(img[0]))
     logger.log_images("Sample Images", imgs, step=epoch)
+
+    # CFG previews (ldm_diffusion.py:195-221): styles 0/1 at guidance 3 and 5,
+    # uncond = dropped (constant -2) style, built inside make_sample_fn
+    if cfg.get("style_drop_rate", 0.0) > 0.0 and cfg.style_sampling.name != "dummy":
+        cfg_imgs = []
+        for style in styles[:2]:
+            batch = {"segmentation": jnp.asarray(one_hot),
+                     "style_imgs": jnp.asarray(style)}
+            for scale in (3.0, 5.0):
+                cfg_sample = jax.jit(make_sample_fn(model, schedule, SamplerConfig(
+                    ddim_steps=steps, eta=0.0, cfg_scale=scale, rescale_phi=0.7,
+                    batched_cfg=True, downsample=4)))
+                img = cfg_sample(state.params, batch, jax.random.PRNGKey(epoch))
+                cfg_imgs.append(np.asarray(img[0]))
+        logger.log_images("Sample Images CFG", cfg_imgs, step=epoch)
 
 
 if __name__ == "__main__":
