@@ -75,7 +75,10 @@ class MixFFN(nn.Module):
         ys = y.reshape(b, h, w, self.hidden)
         ys = nn.Conv(self.hidden, (3, 3), feature_group_count=self.hidden,
                      dtype=self.dtype, name="dwconv")(ys)
-        y = nn.gelu(ys.reshape(b, n, self.hidden))
+        # exact (erf) GELU: the published MiT uses torch nn.GELU(), and the
+        # imagenet-weight importer (utils/torch_import.map_mit_b2) relies on
+        # activation parity
+        y = nn.gelu(ys.reshape(b, n, self.hidden), approximate=False)
         return nn.Dense(c, dtype=self.dtype, name="fc2")(y)
 
 

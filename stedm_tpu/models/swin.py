@@ -161,12 +161,13 @@ class SwinBlockV2(nn.Module):
         x = _window_reverse(attn, win, b, h, w)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = shortcut + nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
 
         shortcut = x
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(x)
-        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y))
-        return shortcut + nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm2")(y).astype(self.dtype)
+        # exact (erf) GELU for torchvision weight-import parity
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(nn.gelu(y, approximate=False))
+        return shortcut + nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32, name="norm2")(y).astype(self.dtype)
 
 
 class PatchMergingV2(nn.Module):
@@ -179,11 +180,14 @@ class PatchMergingV2(nn.Module):
         b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 4, 2, 5)
         # torch cat order: [x0(0::2,0::2), x1(1::2,0::2), x2(0::2,1::2), x3(1::2,1::2)]
+        # — after the (0,1,3,4,2,5) transpose dims 3,4 are (col-offset, row-offset),
+        # so x1 (row-offset 1) is [..., 0, 1, :]; verified against a torch twin in
+        # tests/test_swin_import.py
         x = x.reshape(b, h // 2, w // 2, 2, 2, c)
         x = jnp.concatenate([x[..., 0, 0, :], x[..., 0, 1, :],
                              x[..., 1, 0, :], x[..., 1, 1, :]], axis=-1)
         x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="reduction")(x)
-        return nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
 
 
 class SwinV2(nn.Module):
@@ -203,7 +207,7 @@ class SwinV2(nn.Module):
         p = self.patch_size
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), dtype=self.dtype,
                     name="patch_embed")(x.astype(self.dtype))
-        x = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
         dim = self.embed_dim
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for i in range(depth):
@@ -213,7 +217,7 @@ class SwinV2(nn.Module):
             if stage != len(self.depths) - 1:
                 x = PatchMergingV2(dtype=self.dtype, name=f"merge{stage}")(x)
                 dim *= 2
-        x = nn.LayerNorm(use_fast_variance=False, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32, name="norm")(x).astype(self.dtype)
         x = x.mean(axis=(1, 2))  # global average pool
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 

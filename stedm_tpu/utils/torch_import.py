@@ -245,6 +245,163 @@ def map_full_ldm(sd: dict[str, np.ndarray]) -> dict:
     return out
 
 
+def map_mit_b2(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """Map a Mix-Transformer (SegFormer MiT) encoder state_dict to our
+    `stedm_tpu/models/segformer.py:MiTEncoder` tree.
+
+    Accepts the official NVlabs layout (``patch_embed1.proj...``, ``block1.0...``,
+    ``norm1...``) which is also what segmentation_models_pytorch wraps for
+    ``encoder_weights="imagenet"`` (reference modules/segmentation.py:41); pass
+    ``root="_model.encoder."`` for a Lightning Segmentation checkpoint or
+    ``root="encoder."`` for a bare smp.Unet state_dict. The fused ``attn.kv``
+    matrix is split into our separate k/v Dense kernels; the classification
+    ``head.*`` is ignored (smp drops it too).
+    """
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    for s in range(4):
+        t = s + 1
+        if f"patch_embed{t}.proj.weight" not in sd:
+            continue
+        _set(out, f"patch_embed_{s}/kernel", _conv_w(sd[f"patch_embed{t}.proj.weight"]))
+        _set(out, f"patch_embed_{s}/bias", sd[f"patch_embed{t}.proj.bias"])
+        _set(out, f"embed_norm_{s}/scale", sd[f"patch_embed{t}.norm.weight"])
+        _set(out, f"embed_norm_{s}/bias", sd[f"patch_embed{t}.norm.bias"])
+        _set(out, f"stage_norm_{s}/scale", sd[f"norm{t}.weight"])
+        _set(out, f"stage_norm_{s}/bias", sd[f"norm{t}.bias"])
+        i = 0
+        while f"block{t}.{i}.norm1.weight" in sd:
+            bt, bj = f"block{t}.{i}.", f"stage{s}_block{i}"
+            for norm in ("norm1", "norm2"):
+                _set(out, f"{bj}/{norm}/scale", sd[f"{bt}{norm}.weight"])
+                _set(out, f"{bj}/{norm}/bias", sd[f"{bt}{norm}.bias"])
+            _set(out, f"{bj}/attn/q/kernel", _dense_w(sd[f"{bt}attn.q.weight"]))
+            _set(out, f"{bj}/attn/q/bias", sd[f"{bt}attn.q.bias"])
+            kv_w, kv_b = sd[f"{bt}attn.kv.weight"], sd[f"{bt}attn.kv.bias"]
+            c = kv_w.shape[0] // 2
+            _set(out, f"{bj}/attn/k/kernel", _dense_w(kv_w[:c]))
+            _set(out, f"{bj}/attn/k/bias", kv_b[:c])
+            _set(out, f"{bj}/attn/v/kernel", _dense_w(kv_w[c:]))
+            _set(out, f"{bj}/attn/v/bias", kv_b[c:])
+            _set(out, f"{bj}/attn/proj/kernel", _dense_w(sd[f"{bt}attn.proj.weight"]))
+            _set(out, f"{bj}/attn/proj/bias", sd[f"{bt}attn.proj.bias"])
+            if f"{bt}attn.sr.weight" in sd:  # sr_ratio > 1 stages only
+                _set(out, f"{bj}/attn/sr/kernel", _conv_w(sd[f"{bt}attn.sr.weight"]))
+                _set(out, f"{bj}/attn/sr/bias", sd[f"{bt}attn.sr.bias"])
+                _set(out, f"{bj}/attn/sr_norm/scale", sd[f"{bt}attn.norm.weight"])
+                _set(out, f"{bj}/attn/sr_norm/bias", sd[f"{bt}attn.norm.bias"])
+            _set(out, f"{bj}/ffn/fc1/kernel", _dense_w(sd[f"{bt}mlp.fc1.weight"]))
+            _set(out, f"{bj}/ffn/fc1/bias", sd[f"{bt}mlp.fc1.bias"])
+            _set(out, f"{bj}/ffn/dwconv/kernel",
+                 _conv_w(sd[f"{bt}mlp.dwconv.dwconv.weight"]))
+            _set(out, f"{bj}/ffn/dwconv/bias", sd[f"{bt}mlp.dwconv.dwconv.bias"])
+            _set(out, f"{bj}/ffn/fc2/kernel", _dense_w(sd[f"{bt}mlp.fc2.weight"]))
+            _set(out, f"{bj}/ffn/fc2/bias", sd[f"{bt}mlp.fc2.bias"])
+            i += 1
+    return out
+
+
+def map_swin_v2(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """Map a torchvision ``swin_v2_*`` state_dict to our
+    `stedm_tpu/models/swin.py:SwinV2` tree (SURVEY §7 hard part (d); the reference
+    instantiates torchvision swin_v2_t with RANDOM init, s_zss_dm.py:19-20, so this
+    importer is for checkpoints of trained reference runs or torchvision weights).
+
+    torchvision layout: ``features.0.{0=conv,2=LN}`` patch embed; stage ``s``
+    blocks at ``features.{2s+1}.{i}.*``; PatchMergingV2 at ``features.{2s+2}.*``;
+    final ``norm`` + ``head`` (the reference replaces head with Linear(768, 512)).
+    Buffers (relative_coords_table / relative_position_index) are recomputed on
+    the fly in our model and skipped here.
+    """
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    if "features.0.0.weight" in sd:
+        _set(out, "patch_embed/kernel", _conv_w(sd["features.0.0.weight"]))
+        _set(out, "patch_embed/bias", sd["features.0.0.bias"])
+        _set(out, "patch_norm/scale", sd["features.0.2.weight"])
+        _set(out, "patch_norm/bias", sd["features.0.2.bias"])
+    for s in range(4):
+        f = 2 * s + 1
+        i = 0
+        while f"features.{f}.{i}.norm1.weight" in sd:
+            bt, bj = f"features.{f}.{i}.", f"stage{s}_block{i}"
+            for norm in ("norm1", "norm2"):
+                _set(out, f"{bj}/{norm}/scale", sd[f"{bt}{norm}.weight"])
+                _set(out, f"{bj}/{norm}/bias", sd[f"{bt}{norm}.bias"])
+            _set(out, f"{bj}/attn/qkv/kernel", _dense_w(sd[f"{bt}attn.qkv.weight"]))
+            _set(out, f"{bj}/attn/qkv/bias", sd[f"{bt}attn.qkv.bias"])
+            _set(out, f"{bj}/attn/proj/kernel", _dense_w(sd[f"{bt}attn.proj.weight"]))
+            _set(out, f"{bj}/attn/proj/bias", sd[f"{bt}attn.proj.bias"])
+            _set(out, f"{bj}/attn/logit_scale", sd[f"{bt}attn.logit_scale"])
+            _set(out, f"{bj}/attn/cpb_mlp_0/kernel",
+                 _dense_w(sd[f"{bt}attn.cpb_mlp.0.weight"]))
+            _set(out, f"{bj}/attn/cpb_mlp_0/bias", sd[f"{bt}attn.cpb_mlp.0.bias"])
+            _set(out, f"{bj}/attn/cpb_mlp_2/kernel",
+                 _dense_w(sd[f"{bt}attn.cpb_mlp.2.weight"]))
+            _set(out, f"{bj}/mlp_fc1/kernel", _dense_w(sd[f"{bt}mlp.0.weight"]))
+            _set(out, f"{bj}/mlp_fc1/bias", sd[f"{bt}mlp.0.bias"])
+            _set(out, f"{bj}/mlp_fc2/kernel", _dense_w(sd[f"{bt}mlp.3.weight"]))
+            _set(out, f"{bj}/mlp_fc2/bias", sd[f"{bt}mlp.3.bias"])
+            i += 1
+        m = 2 * s + 2
+        if f"features.{m}.reduction.weight" in sd:
+            _set(out, f"merge{s}/reduction/kernel",
+                 _dense_w(sd[f"features.{m}.reduction.weight"]))
+            _set(out, f"merge{s}/norm/scale", sd[f"features.{m}.norm.weight"])
+            _set(out, f"merge{s}/norm/bias", sd[f"features.{m}.norm.bias"])
+    if "norm.weight" in sd:
+        _set(out, "norm/scale", sd["norm.weight"])
+        _set(out, "norm/bias", sd["norm.bias"])
+    if "head.weight" in sd:
+        _set(out, "head/kernel", _dense_w(sd["head.weight"]))
+        _set(out, "head/bias", sd["head.bias"])
+    return out
+
+
+def map_inception(sd: dict[str, np.ndarray], eps: float = 1e-3) -> dict:
+    """Map a torchvision/pytorch-fid InceptionV3 state_dict to our
+    `stedm_tpu/models/inception.py:InceptionV3FID` tree, folding each
+    BasicConv2d's BatchNorm (eps 0.001) into the conv kernel + a bias:
+    ``w' = w * g/sqrt(var+eps)``, ``b' = beta - mean * g/sqrt(var+eps)``.
+    Classifier (`fc.*`) and aux-head keys are ignored."""
+    out: dict = {}
+    for key in sd:
+        if not key.endswith(".conv.weight") or key.startswith("AuxLogits"):
+            continue
+        base = key[:-len(".conv.weight")]
+        w = sd[key]                                   # OIHW
+        g = sd[f"{base}.bn.weight"]
+        beta = sd[f"{base}.bn.bias"]
+        mean = sd[f"{base}.bn.running_mean"]
+        var = sd[f"{base}.bn.running_var"]
+        scale = g / np.sqrt(var + eps)
+        name = base.replace(".", "_")
+        _set(out, f"{name}/kernel", _conv_w(w * scale[:, None, None, None]))
+        _set(out, f"{name}/bias", beta - mean * scale)
+    return out
+
+
+def load_seg_encoder(params: Any, path: str) -> Any:
+    """Load pretrained MiT-B2 weights into a SegUNet param tree's ``encoder``
+    subtree (reference `modules/segmentation.py:41` ``encoder_weights="imagenet"``).
+    Auto-detects the key root (bare NVlabs file, smp.Unet, or Lightning ckpt)."""
+    p = Path(path)
+    if p.is_dir():
+        from stedm_tpu.train import checkpoints
+
+        return checkpoints.restore_params(p, params)
+    sd = load_torch_state_dict(p)
+    root = ""
+    for cand in ("_model.encoder.", "model.encoder.", "encoder."):
+        if any(k.startswith(cand + "patch_embed1.") for k in sd):
+            root = cand
+            break
+    loaded = {"encoder": map_mit_b2(sd, root=root)}
+    return merge_loaded(params, loaded)
+
+
 def merge_loaded(params: Any, loaded: dict, *, subtree: str | None = None,
                  ignore_keys: list[str] = ()) -> Any:
     """Overlay ``loaded`` (nested dict of arrays) onto ``params`` where paths and

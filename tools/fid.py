@@ -80,6 +80,33 @@ def random_projection_featurizer(dim: int = 512, patch: int = 64, seed: int = 0)
     return featurize
 
 
+def inception_featurizer(ckpt_path: str):
+    """Standard FID featurizer: InceptionV3 pool3 (2048-d), weights imported from
+    a staged torch checkpoint (torchvision inception_v3 / pytorch-fid
+    pt_inception layout; BN folded at import). Input handling mirrors
+    pytorch-fid: bilinear resize to 299, scale to [-1, 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    from stedm_tpu.models.inception import InceptionV3FID
+    from stedm_tpu.utils.torch_import import load_torch_state_dict, map_inception
+
+    net = InceptionV3FID()
+    params = map_inception(load_torch_state_dict(ckpt_path))
+    fn = jax.jit(lambda imgs: net.apply({"params": params}, imgs))
+
+    def featurize(images: np.ndarray) -> np.ndarray:
+        import cv2
+
+        resized = np.stack([
+            cv2.resize(im, (299, 299), interpolation=cv2.INTER_LINEAR)
+            for im in images])
+        x = jnp.asarray(resized.astype(np.float32) / 127.5 - 1.0)
+        return np.asarray(fn(x))
+
+    return featurize
+
+
 def folder_features(folder: str, featurize, *, batch: int = 32,
                     limit: int | None = None, prefix: str = "img_") -> np.ndarray:
     from PIL import Image
@@ -103,15 +130,24 @@ def main() -> None:
     ap.add_argument("fake_dir")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--features", default=None, metavar="CKPT",
+                    help="torch InceptionV3 checkpoint for standard-comparable "
+                         "FID (pool3 features); omit for the seeded "
+                         "random-projection featurizer")
     args = ap.parse_args()
 
-    featurize = random_projection_featurizer()
+    if args.features:
+        featurize = inception_featurizer(args.features)
+        label = "InceptionV3 pool3"
+    else:
+        featurize = random_projection_featurizer()
+        label = "random-projection featurizer"
     f_real = folder_features(args.real_dir, featurize, batch=args.batch,
                              limit=args.limit)
     f_fake = folder_features(args.fake_dir, featurize, batch=args.batch,
                              limit=args.limit)
     fid = fid_from_features(f_real, f_fake)
-    print(f"FID (random-projection featurizer): {fid:.4f} "
+    print(f"FID ({label}): {fid:.4f} "
           f"({len(f_real)} real / {len(f_fake)} fake)")
 
 

@@ -86,6 +86,9 @@ def _epoch_metrics(prefix: str, cm: np.ndarray, inst_cms: np.ndarray | None,
 
 def main(argv: list[str]) -> None:
     cfg = compose("config_seg", argv)
+    import stedm_tpu
+
+    stedm_tpu.enable_compile_cache()
     maybe_initialize_distributed()
 
     if cfg.data.batch_size is None:
@@ -117,6 +120,16 @@ def main(argv: list[str]) -> None:
     p = cfg.data.patch_size
     variables = model.init(jax.random.PRNGKey(cfg.get("seed", 0)),
                            jnp.zeros((1, p, p, 3)), False)
+
+    # pretrained MiT-B2 encoder (reference modules/segmentation.py:41
+    # ``encoder_weights="imagenet"``): `+encoder_ckpt=<path>` points at a staged
+    # NVlabs mit_b2 / smp / Lightning torch checkpoint (no egress in this image)
+    enc_ckpt = cfg.get("encoder_ckpt")
+    if enc_ckpt:
+        from stedm_tpu.utils.torch_import import load_seg_encoder
+
+        variables = dict(variables)
+        variables["params"] = load_seg_encoder(variables["params"], enc_ckpt)
     import optax
 
     tx = optax.MultiSteps(optax.adamw(lr),
