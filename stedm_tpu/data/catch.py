@@ -27,7 +27,8 @@ import numpy as np
 from stedm_tpu.data import augment
 from stedm_tpu.data.flowers import _one_hot, _stage_dir
 from stedm_tpu.data.her2 import NearbySampler, NoneSampler, _SlideCache
-from stedm_tpu.data.wsi import block_reduce_median, open_slide, tissue_mask, wsi_sample
+from stedm_tpu.data.wsi import (block_reduce_median, open_slide, tissue_mask,
+                                wsi_sample, wsi_sample_batch)
 
 
 class MultiPatchSampler:
@@ -39,16 +40,18 @@ class MultiPatchSampler:
 
     def sample_imgs(self, rng, slide_obj, pos, offset, p_size, b_scale,
                     sample_list, lookup_f):
-        imgs = []
+        positions = []
         for _ in range(self._num_patches):
             coords = sample_list[int(rng.integers(0, len(sample_list)))]
-            y_c = int(coords[0] * lookup_f + 0.5 * lookup_f) + int(
-                rng.integers(-lookup_f, lookup_f))
-            x_c = int(coords[1] * lookup_f + 0.5 * lookup_f) + int(
-                rng.integers(-lookup_f, lookup_f))
-            crop = wsi_sample(slide_obj, (0, 0), p_size, b_scale, (y_c, x_c))
-            imgs.append(self._transforms(rng, crop)["image"])
-        return np.stack(imgs, axis=0)
+            positions.append(
+                (int(coords[0] * lookup_f + 0.5 * lookup_f)
+                 + int(rng.integers(-lookup_f, lookup_f)),
+                 int(coords[1] * lookup_f + 0.5 * lookup_f)
+                 + int(rng.integers(-lookup_f, lookup_f))))
+        # batched read on the native async pool when available
+        crops = wsi_sample_batch(slide_obj, (0, 0), p_size, b_scale, positions)
+        return np.stack([self._transforms(rng, crop)["image"] for crop in crops],
+                        axis=0)
 
 
 _SAMPLERS = {"NoneSampler": NoneSampler, "NearbySampler": NearbySampler,

@@ -120,6 +120,16 @@ def open_slide(path):
     return ArraySlide(path)
 
 
+def _level_plan(slide_obj, p_size: int, b_scale: int):
+    """Pick the pyramid level + residual block-mean factor for ``b_scale``
+    (reference her2_utils.py:177-208 level-selection logic)."""
+    levels = [int(round(lvl)) for lvl in slide_obj.level_downsamples]
+    if b_scale in levels:
+        return levels.index(b_scale), 1
+    out_lvl_ds = next(lvl for lvl in reversed(levels) if lvl < b_scale)
+    return levels.index(out_lvl_ds), int(b_scale / out_lvl_ds)
+
+
 def wsi_sample(slide_obj, offset, p_size: int, b_scale: int, pos) -> np.ndarray:
     """Read a (p_size, p_size) RGB patch centered at ``pos`` (y, x, level-0 coords,
     plus ``offset``) at pyramid scale ``b_scale`` (reference her2_utils.py:177-208):
@@ -128,6 +138,18 @@ def wsi_sample(slide_obj, offset, p_size: int, b_scale: int, pos) -> np.ndarray:
     levels = [int(round(lvl)) for lvl in slide_obj.level_downsamples]
     y0 = int(pos[0] + offset[0] - (p_size / 2) * b_scale)
     x0 = int(pos[1] + offset[1] - (p_size / 2) * b_scale)
+
+    # fast path: in-memory pyramid + native kernel (crop/white-fill/downscale in
+    # one GIL-releasing call, identical output to the numpy path below)
+    if isinstance(slide_obj, ArraySlide):
+        from stedm_tpu.native import wsi_patch_native
+
+        lvl, down = _level_plan(slide_obj, p_size, b_scale)
+        ds = int(slide_obj.level_downsamples[lvl])
+        out = wsi_patch_native(slide_obj._levels[lvl], y0 // ds, x0 // ds,
+                               p_size, down)
+        if out is not None:
+            return out
 
     if b_scale in levels:
         lvl = levels.index(b_scale)
@@ -145,6 +167,33 @@ def wsi_sample(slide_obj, offset, p_size: int, b_scale: int, pos) -> np.ndarray:
     crop[:, :, :3][crop[:, :, 3] == 0] = 255
     crop = crop[:, :, :3]
     return downscale_local_mean(crop, (scale_diff, scale_diff)).astype(np.uint8)
+
+
+def wsi_sample_batch(slide_obj, offset, p_size: int, b_scale: int,
+                     positions) -> np.ndarray:
+    """Batch `wsi_sample`: [N, p, p, 3] patches for N positions.
+
+    For in-memory pyramids with the native lib present, the whole batch runs on
+    the C++ async pool (`stedm_tpu/data/native_pipeline.py`) — one GIL release
+    for N patches; otherwise a plain python loop with identical output."""
+    positions = np.asarray(positions)
+    if isinstance(slide_obj, ArraySlide):
+        from stedm_tpu.data.native_pipeline import global_pipeline
+
+        pipe = global_pipeline()
+        if pipe is not None:
+            lvl, down = _level_plan(slide_obj, p_size, b_scale)
+            ds = int(slide_obj.level_downsamples[lvl])
+            # mirror wsi_sample's int() truncation exactly, then floor-divide to
+            # level coords like read_region does
+            y0 = np.trunc(positions[:, 0] + offset[0]
+                          - (p_size / 2) * b_scale).astype(np.int64)
+            x0 = np.trunc(positions[:, 1] + offset[1]
+                          - (p_size / 2) * b_scale).astype(np.int64)
+            coords = np.stack([y0 // ds, x0 // ds], axis=1)
+            return pipe.submit(slide_obj._levels[lvl], coords, p_size, down).get()
+    return np.stack([wsi_sample(slide_obj, offset, p_size, b_scale, pos)
+                     for pos in positions])
 
 
 def sample(slide_obj, offset, seg_comp: np.ndarray, p_size: int, b_scale: int, pos,

@@ -44,6 +44,23 @@ def _load():
     lib.stedm_downscale_mean.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    lib.stedm_wsi_patch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    # async patch pipeline (native/pipeline.cc)
+    lib.stedm_pipe_create.argtypes = [ctypes.c_int64]
+    lib.stedm_pipe_create.restype = ctypes.c_void_p
+    lib.stedm_pipe_register.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64]
+    lib.stedm_pipe_register.restype = ctypes.c_int64
+    lib.stedm_pipe_submit.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.stedm_pipe_submit.restype = ctypes.c_int64
+    lib.stedm_pipe_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.stedm_pipe_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -84,6 +101,21 @@ def extract_patch_native(image: np.ndarray, y_s: int, x_s: int, patch: int,
         out = np.empty((patch, patch, c), np.uint8)
     lib.stedm_extract_patch(_u8ptr(image), h, w, c, y_s, x_s, patch, fill,
                             _u8ptr(out))
+    return out
+
+
+def wsi_patch_native(level: np.ndarray, y0: int, x0: int, size: int,
+                     down: int) -> np.ndarray | None:
+    """Crop ``size*down`` at (y0, x0) in a [H, W, C] uint8 pyramid level with
+    white (255) fill outside, block-mean by ``down`` -> [size, size, C]. The
+    wsi_sample hot path in one GIL-releasing call; None when the lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    level = np.ascontiguousarray(level, dtype=np.uint8)
+    h, w, c = level.shape
+    out = np.empty((size, size, c), np.uint8)
+    lib.stedm_wsi_patch(_u8ptr(level), h, w, c, y0, x0, size, down, _u8ptr(out))
     return out
 
 
