@@ -114,6 +114,14 @@ class _H5Cache:
         self._path = path
         self._local = threading.local()
 
+    # picklable for multiprocess loaders (grain workers): handles re-open lazily
+    def __getstate__(self):
+        return {k: v for k, v in self.__dict__.items() if k != "_local"}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
+
     def dataset(self, name: str):
         import h5py
 

@@ -79,10 +79,17 @@ class DataModule:
 
     def _loader(self, dataset, *, shuffle: bool, seed: int = 0,
                 drop_last: bool = True) -> Loader:
-        return Loader(dataset, self._batch_size, shuffle=shuffle,
-                      num_workers=self._n_workers,
-                      prefetch=self._cfg.location.get("prefetch", 2), seed=seed,
-                      drop_last=drop_last)
+        cls = Loader
+        if self._cfg.location.get("loader") == "grain":
+            # multiprocess option (the reference's forked torch DataLoader
+            # workers): grain worker processes + shared-memory numpy transfer
+            from stedm_tpu.data.grain_loader import GrainLoader
+
+            cls = GrainLoader
+        return cls(dataset, self._batch_size, shuffle=shuffle,
+                   num_workers=self._n_workers,
+                   prefetch=self._cfg.location.get("prefetch", 2), seed=seed,
+                   drop_last=drop_last)
 
     def train_loader(self, seed: int = 0) -> Loader:
         return self._loader(self._concat("train_dataset"), shuffle=True, seed=seed)

@@ -101,6 +101,14 @@ class _SlideCache:
     def __init__(self):
         self._local = threading.local()
 
+    # picklable for multiprocess loaders (grain workers): handles re-open lazily
+    def __getstate__(self):
+        return {k: v for k, v in self.__dict__.items() if k != "_local"}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
+
     def get(self, key, path):
         cache = getattr(self._local, "cache", None)
         if cache is None:
