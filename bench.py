@@ -86,14 +86,20 @@ def main() -> None:
     sample = jax.jit(make_sample_fn(
         model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base)))
 
-    def timed(fn):
+    mean = jax.jit(lambda x: x.mean())
+
+    def timed(fn, n_iters=6):
+        # timing honesty on the remote-execution tunnel: block_until_ready can
+        # return before the program finishes there (measured up to 1.6x
+        # inflation), so the clock stops on a 4-byte host readback that DEPENDS
+        # on every iteration's output (scalar means summed) — true completion,
+        # no image-transfer overhead in the measurement
         img = fn(params, batch, rng)          # warmup / compile
-        img.block_until_ready()
-        n_iters = 3
+        float(mean(img))                       # full sync
         t0 = time.perf_counter()
-        for i in range(n_iters):
-            img = fn(params, batch, jax.random.fold_in(rng, i))
-        img.block_until_ready()
+        means = [mean(fn(params, batch, jax.random.fold_in(rng, i)))
+                 for i in range(n_iters)]
+        float(jnp.stack(means).sum())
         dt = time.perf_counter() - t0
         return BATCH * n_iters / dt, img
 
