@@ -117,3 +117,76 @@ def test_train_seg_entry_point(tmp_path):
     ])
     events = (result_dir / "seg_flowers_syn" / "events.jsonl").read_text()
     assert "Train Loss" in events and "Train IoU Score" in events
+
+
+def test_train_seg_with_pretrained_encoder(tmp_path, capsys):
+    """`+encoder_ckpt=`: imagenet-MiT-B2-layout weights load into the encoder
+    (reference modules/segmentation.py:41 encoder_weights='imagenet'); decoder
+    stays at init. The checkpoint is a synthetic NVlabs-layout state_dict."""
+    import torch
+
+    import train_seg as ts
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    dims, depths, srs = (64, 128, 320, 512), (3, 4, 6, 3), (8, 4, 2, 1)
+    sd = {}
+    for s, (d, depth, sr) in enumerate(zip(dims, depths, srs)):
+        t = s + 1
+        in_ch, k = (3, 7) if s == 0 else (dims[s - 1], 3)
+        sd[f"patch_embed{t}.proj.weight"] = rng.normal(0, 0.02, (d, in_ch, k, k))
+        sd[f"patch_embed{t}.proj.bias"] = np.zeros(d)
+        for nm in (f"patch_embed{t}.norm", f"norm{t}"):
+            sd[f"{nm}.weight"] = np.ones(d)
+            sd[f"{nm}.bias"] = np.zeros(d)
+        for i in range(depth):
+            b = f"block{t}.{i}."
+            for nm in ("norm1", "norm2"):
+                sd[b + nm + ".weight"] = np.ones(d)
+                sd[b + nm + ".bias"] = np.zeros(d)
+            sd[b + "attn.q.weight"] = rng.normal(0, 0.02, (d, d))
+            sd[b + "attn.q.bias"] = np.zeros(d)
+            sd[b + "attn.kv.weight"] = rng.normal(0, 0.02, (2 * d, d))
+            sd[b + "attn.kv.bias"] = np.zeros(2 * d)
+            sd[b + "attn.proj.weight"] = rng.normal(0, 0.02, (d, d))
+            sd[b + "attn.proj.bias"] = np.zeros(d)
+            if sr > 1:
+                sd[b + "attn.sr.weight"] = rng.normal(0, 0.02, (d, d, sr, sr))
+                sd[b + "attn.sr.bias"] = np.zeros(d)
+                sd[b + "attn.norm.weight"] = np.ones(d)
+                sd[b + "attn.norm.bias"] = np.zeros(d)
+            sd[b + "mlp.fc1.weight"] = rng.normal(0, 0.02, (4 * d, d))
+            sd[b + "mlp.fc1.bias"] = np.zeros(4 * d)
+            sd[b + "mlp.dwconv.dwconv.weight"] = rng.normal(0, 0.02, (4 * d, 1, 3, 3))
+            sd[b + "mlp.dwconv.dwconv.bias"] = np.zeros(4 * d)
+            sd[b + "mlp.fc2.weight"] = rng.normal(0, 0.02, (d, 4 * d))
+            sd[b + "mlp.fc2.bias"] = np.zeros(d)
+    ckpt = tmp_path / "mit_b2_imagenet.pth"
+    torch.save({"_model.encoder." + k: torch.from_numpy(np.asarray(v, np.float32))
+                for k, v in sd.items()}, ckpt)
+
+    syn_dir = tmp_path / "syn_data" / "flowers"
+    syn_dir.mkdir(parents=True)
+    for i in range(4):
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        seg = (rng.uniform(size=(32, 32)) > 0.5).astype(np.uint8)
+        Image.fromarray(img).save(syn_dir / f"img_{str(i).zfill(5)}.png")
+        Image.fromarray(seg).save(syn_dir / f"seg_{str(i).zfill(5)}.png")
+
+    result_dir = tmp_path / "results"
+    ts.main([
+        "data.patch_size=32", "data.samples=4", "data.batch_size=2",
+        "num_epochs=1", "lr=1e-4", "location=pc", "accumulate_grad_batches=1",
+        "data.overlap_train=1", "data.overlap_val=1",
+        f"location.data_dir={tmp_path}", f"location.result_dir={result_dir}",
+        "data/dataset=[flowers_syn]", "data.ratios=[1.0]",
+        "compute_dtype=float32",
+        f"+encoder_ckpt={ckpt}",
+    ])
+    out = capsys.readouterr().out
+    import re
+
+    m = re.search(r"merged (\d+) tensors", out)
+    assert m and int(m.group(1)) >= 250, out[-500:]
+    events = (result_dir / "seg_flowers_syn" / "events.jsonl").read_text()
+    assert "Train Loss" in events
