@@ -114,6 +114,11 @@ class UNet(nn.Module):
     use_spatial_transformer: bool = False
     transformer_depth: int = 1
     num_classes: int | None = None     # class-conditional 'adm' mode (y labels)
+    use_checkpoint: bool = False       # rematerialize ResBlocks under grad — the
+                                       # TPU counterpart of the reference's
+                                       # per-block activation checkpointing
+                                       # (openaimodel.py:263-265; trades FLOPs
+                                       # for HBM via jax.checkpoint)
     dtype: Dtype = jnp.float32
 
     def _heads(self, ch: int) -> tuple[int, int]:
@@ -171,10 +176,16 @@ class UNet(nn.Module):
             emb = emb + nn.Embed(self.num_classes, time_embed_dim,
                                  dtype=self.dtype, name="label_emb")(y)
 
+        # remat: recompute block activations in the backward pass instead of
+        # keeping them in HBM (the reference checkpoints per block the same way,
+        # openaimodel.py:263-265). `train` (arg 2) stays a static python bool.
+        block_cls = (nn.remat(ResBlock, static_argnums=(2,))
+                     if self.use_checkpoint else ResBlock)
+
         def res(out_ch, name, **kw):
-            return ResBlock(out_channels=out_ch, dropout=self.dropout,
-                            use_scale_shift_norm=self.use_scale_shift_norm,
-                            dtype=self.dtype, name=name, **kw)
+            return block_cls(out_channels=out_ch, dropout=self.dropout,
+                             use_scale_shift_norm=self.use_scale_shift_norm,
+                             dtype=self.dtype, name=name, **kw)
 
         # ---- encoder -------------------------------------------------------
         # in cached mode only the shallow levels (< cache_levels) run; the

@@ -94,3 +94,41 @@ def test_bf16_compute():
     assert y.dtype == jnp.float32
     leaf = jax.tree_util.tree_leaves(variables["params"])[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_use_checkpoint_remat_matches_plain():
+    """use_checkpoint (jax.checkpoint per ResBlock — the reference's per-block
+    activation checkpointing, openaimodel.py:263-265) must not change forward
+    outputs or gradients, only the memory/FLOPs tradeoff."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stedm_tpu.models.unet import UNet
+
+    kw = dict(in_channels=6, out_channels=3, model_channels=32,
+              num_res_blocks=1, channel_mult=(1, 2), num_heads=4,
+              attention_resolutions=(32, 16, 8))
+    plain = UNet(**kw)
+    remat = UNet(use_checkpoint=True, **kw)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 6)),
+                    jnp.float32)
+    t = jnp.array([3, 500], jnp.int32)
+    ctx = jnp.asarray(np.random.default_rng(1).normal(size=(2, 512)), jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x, t, ctx)["params"]
+
+    out_p = plain.apply({"params": params}, x, t, ctx)
+    out_r = remat.apply({"params": params}, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply({"params": p}, x, t, ctx) ** 2)
+        return f
+
+    g_p = jax.grad(loss(plain))(params)
+    g_r = jax.grad(loss(remat))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
