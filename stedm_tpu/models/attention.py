@@ -17,7 +17,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from stedm_tpu.models.layers import GroupNorm32
+from stedm_tpu.models.layers import GNSiLU
 
 Dtype = Any
 
@@ -49,7 +49,8 @@ class AttentionBlock(nn.Module):
         b, h, w, c = x.shape
         heads = self.num_heads
         dh = c // heads
-        xs = GroupNorm32(dtype=self.dtype, name="norm")(x).reshape(b, h * w, c)
+        xs = GNSiLU(dtype=self.dtype, apply_silu=False, name="norm")(x)
+        xs = xs.reshape(b, h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xs)
         qkv = qkv.reshape(b, h * w, heads, 3, dh).transpose(0, 2, 3, 1, 4)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -140,7 +141,7 @@ class SpatialTransformer(nn.Module):
         if context is not None and context.ndim == 2:
             context = context[:, None, :]
         res = x
-        x = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        x = GNSiLU(dtype=self.dtype, apply_silu=False, name="norm")(x)
         x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x).reshape(b, h * w, inner)
         for d in range(self.depth):
             x = BasicTransformerBlock(heads=self.heads, dim_head=self.dim_head,

@@ -44,6 +44,46 @@ class GroupNorm32(nn.Module):
         return y.astype(self.dtype)
 
 
+class _NormParams(nn.Module):
+    """GroupNorm affine parameters only — same names/shapes as
+    ``flax.linen.GroupNorm`` so the tree path (and the torch importer's key map)
+    is identical whether the fused or the plain path runs."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
+class GNSiLU(nn.Module):
+    """GroupNorm(+embedding-add | +FiLM)(+SiLU) through the fused one-pass TPU
+    kernel (`stedm_tpu.ops.gn_silu`); float32 statistics, flax GroupNorm
+    numerics, jnp fallback elsewhere. Parameters live under ``<name>/norm`` like
+    the `GroupNorm32`-wrapped `nn.GroupNorm` it replaces."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    apply_silu: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, add: jnp.ndarray | None = None,
+                 film_scale: jnp.ndarray | None = None,
+                 film_shift: jnp.ndarray | None = None) -> jnp.ndarray:
+        from stedm_tpu.ops.gn_silu import gn_silu
+
+        scale, bias = _NormParams(x.shape[-1], name="norm")()
+        y = gn_silu(x, scale, bias, add=add, film_scale=film_scale,
+                    film_shift=film_shift, groups=self.num_groups,
+                    eps=self.epsilon, apply_silu=self.apply_silu)
+        return y.astype(self.dtype)
+
+
 def conv3x3(features: int, *, name: str | None = None, zero_init: bool = False,
             stride: int = 1, dtype: Dtype = jnp.float32) -> nn.Conv:
     init = nn.initializers.zeros_init() if zero_init else nn.initializers.lecun_normal()
@@ -59,8 +99,11 @@ def conv1x1(features: int, *, name: str | None = None, zero_init: bool = False,
 
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    # broadcast+reshape tiling: bit-identical to nearest resize at integer
+    # scale, but lowers to a cheap broadcast instead of a gather
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
 
 
 class Upsample(nn.Module):

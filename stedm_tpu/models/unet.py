@@ -34,7 +34,7 @@ from flax import linen as nn
 from stedm_tpu.models.attention import AttentionBlock, SpatialTransformer
 from stedm_tpu.models.layers import (
     Downsample,
-    GroupNorm32,
+    GNSiLU,
     Upsample,
     conv1x1,
     conv3x3,
@@ -61,7 +61,7 @@ class ResBlock(nn.Module):
         ch = x.shape[-1]
         out_ch = self.out_channels or ch
 
-        h = nn.silu(GroupNorm32(dtype=self.dtype, name="in_norm")(x))
+        h = GNSiLU(dtype=self.dtype, name="in_norm")(x)
         if self.up:
             h = Upsample(use_conv=False, dtype=self.dtype)(h)
             x = Upsample(use_conv=False, dtype=self.dtype)(x)
@@ -75,12 +75,12 @@ class ResBlock(nn.Module):
             nn.silu(emb.astype(self.dtype)))
 
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
-            h = GroupNorm32(dtype=self.dtype, name="out_norm")(h) * (1 + scale) + shift
-            h = nn.silu(h)
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GNSiLU(dtype=self.dtype, name="out_norm")(h, film_scale=scale,
+                                                          film_shift=shift)
         else:
-            h = h + emb_out[:, None, None, :]
-            h = nn.silu(GroupNorm32(dtype=self.dtype, name="out_norm")(h))
+            # the h + emb broadcast is fused into the norm's single pass
+            h = GNSiLU(dtype=self.dtype, name="out_norm")(h, add=emb_out)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = conv3x3(out_ch, zero_init=True, dtype=self.dtype, name="out_conv")(h)
@@ -270,7 +270,7 @@ class UNet(nn.Module):
             if return_cache and level == cache_levels:
                 cache_out = h  # post-upsample state entering level cache_levels-1
 
-        h = nn.silu(GroupNorm32(dtype=self.dtype, name="out_norm")(h))
+        h = GNSiLU(dtype=self.dtype, name="out_norm")(h)
         h = conv3x3(self.out_channels, zero_init=True, dtype=self.dtype, name="out_conv")(h)
         out = h.astype(in_dtype)
         if return_cache:

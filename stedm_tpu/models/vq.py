@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stedm_tpu.models.layers import GNSiLU
+
 Dtype = Any
 
 
@@ -53,9 +55,9 @@ class ResnetBlockVQ(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         out_ch = self.out_channels or x.shape[-1]
-        h = nn.swish(GroupNormVQ(dtype=self.dtype, name="norm1")(x))
+        h = GNSiLU(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = _conv3(out_ch, dtype=self.dtype, name="conv1")(h)
-        h = nn.swish(GroupNormVQ(dtype=self.dtype, name="norm2")(h))
+        h = GNSiLU(epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = _conv3(out_ch, dtype=self.dtype, name="conv2")(h)
@@ -78,7 +80,8 @@ class AttnBlockVQ(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         t = h * w
-        hn = GroupNormVQ(dtype=self.dtype, name="norm")(x)
+        hn = GNSiLU(epsilon=1e-6, dtype=self.dtype, apply_silu=False,
+                    name="norm")(x)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn).reshape(b, t, c)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn).reshape(b, t, c)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn).reshape(b, t, c)
@@ -153,7 +156,7 @@ class VQEncoder(nn.Module):
         h = ResnetBlockVQ(dropout=self.dropout, dtype=self.dtype, name="mid_block_1")(h, train)
         h = AttnBlockVQ(dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlockVQ(dropout=self.dropout, dtype=self.dtype, name="mid_block_2")(h, train)
-        h = nn.swish(GroupNormVQ(dtype=self.dtype, name="norm_out")(h))
+        h = GNSiLU(epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         out_ch = 2 * self.z_channels if self.double_z else self.z_channels
         return _conv3(out_ch, dtype=self.dtype, name="conv_out")(h)
 
@@ -192,7 +195,7 @@ class VQDecoder(nn.Module):
             if i_level != 0:
                 h = UpsampleVQ(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
-        h = nn.swish(GroupNormVQ(dtype=self.dtype, name="norm_out")(h))
+        h = GNSiLU(epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         return _conv3(self.out_ch, dtype=self.dtype, name="conv_out")(h)
 
 

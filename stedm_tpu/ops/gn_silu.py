@@ -1,0 +1,244 @@
+"""Fused GroupNorm(+embedding-add | +FiLM)(+SiLU) for the ResBlock hot path.
+
+The U-Net's per-ResBlock chain (reference openaimodel.py:176-288) is
+``GN -> SiLU -> conv`` twice, with the timestep/style embedding either added
+before the second GN or applied as FiLM scale/shift after it. XLA lowers each
+GroupNorm to two passes over the activation (one reduce for the statistics, one
+fused normalize+activation), i.e. 2 reads + 1 write of HBM per norm. When a
+whole sample fits VMEM, this kernel does it in ONE pass — read bf16 once,
+compute fp32 statistics on-chip, normalize+affine+FiLM+SiLU, write once —
+cutting the norm's HBM traffic by a third. The optional fused ``add`` also
+absorbs the ``h + emb`` broadcast that otherwise costs its own pass.
+
+Semantics match ``flax.linen.GroupNorm`` (one-pass variance E[x^2] - E[x]^2 in
+float32) followed by the affine, optional FiLM ``y * (1 + scale) + shift``
+(reference openaimodel.py:271-277), and SiLU. Gradients: ``jax.custom_vjp``
+with a jnp backward (recomputes statistics; same cost profile as the
+rematerialized reference blocks).
+
+Dispatch: the Pallas kernel runs on TPU when the per-sample slab fits VMEM and
+the channel count is lane-aligned; everywhere else (CPU tests, oversized VQ
+decoder slabs where two HBM passes are optimal anyway) the jnp reference path
+runs and XLA fuses it as before.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# largest per-sample element count the single-pass kernel will take: the bf16
+# block + fp32 temporaries must fit VMEM (~16MB). 2^20 elems = 2MB bf16 in,
+# ~4MB fp32 working set, 2MB out.
+MAX_ELEMS_PER_SAMPLE = 1 << 20
+
+
+def _make_kernel(groups: int, n_per_group: int, eps: float, has_add: bool,
+                 has_film: bool, apply_silu: bool):
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        gamma_ref = next(it)
+        beta_ref = next(it)
+        mask_ref = next(it)                      # [C, G] one-hot, fp32
+        add_ref = next(it) if has_add else None
+        fs_ref = next(it) if has_film else None
+        fsh_ref = next(it) if has_film else None
+        out_ref = next(it)
+
+        # per-sample vectors ride in as full [B, C] blocks (a (1, C) block over
+        # a (B, C) array violates the TPU sublane rule); pick this program's row
+        i = pl.program_id(0)
+        xf = x_ref[0].astype(jnp.float32)        # [HW, C]
+        if has_add:
+            xf = xf + add_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, C]
+
+        mask = mask_ref[:]
+        s = jnp.sum(xf, axis=0, keepdims=True)           # [1, C]
+        sq = jnp.sum(xf * xf, axis=0, keepdims=True)     # [1, C]
+        inv_n = 1.0 / n_per_group
+        mean_g = jnp.dot(s, mask, preferred_element_type=jnp.float32) * inv_n
+        msq_g = jnp.dot(sq, mask, preferred_element_type=jnp.float32) * inv_n
+        var_g = msq_g - mean_g * mean_g                  # [1, G]
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        # broadcast per-group stats back to per-channel lanes via the mask
+        contract = (((1,), (1,)), ((), ()))              # [1,G] x [C,G] -> [1,C]
+        mean_c = jax.lax.dot_general(mean_g, mask, contract,
+                                     preferred_element_type=jnp.float32)
+        rstd_c = jax.lax.dot_general(rstd_g, mask, contract,
+                                     preferred_element_type=jnp.float32)
+
+        y = (xf - mean_c) * (rstd_c * gamma_ref[:]) + beta_ref[:]
+        if has_film:
+            y = y * (1.0 + fs_ref[pl.ds(i, 1), :].astype(jnp.float32)) \
+                + fsh_ref[pl.ds(i, 1), :].astype(jnp.float32)
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        out_ref[0] = y.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu",
+                                              "interpret"))
+def _gn_silu_pallas(x, gamma, beta, add, film_scale, film_shift, *,
+                    groups: int, eps: float, apply_silu: bool,
+                    interpret: bool = False):
+    b, h, w, c = x.shape
+    hw = h * w
+    cg = c // groups
+    xr = x.reshape(b, hw, c)
+
+    mask = (jnp.arange(c)[:, None] // cg
+            == jnp.arange(groups)[None, :]).astype(jnp.float32)
+
+    operands = [xr, gamma.astype(jnp.float32).reshape(1, c),
+                beta.astype(jnp.float32).reshape(1, c), mask]
+    in_specs = [
+        pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    per_sample = pl.BlockSpec((b, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if add is not None:
+        operands.append(add.reshape(b, c))
+        in_specs.append(per_sample)
+    if film_scale is not None:
+        operands.extend([film_scale.reshape(b, c), film_shift.reshape(b, c)])
+        in_specs.extend([per_sample, per_sample])
+
+    kernel = _make_kernel(groups, hw * cg, eps, add is not None,
+                          film_scale is not None, apply_silu)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(b, h, w, c)
+
+
+def gn_silu_reference(x, gamma, beta, add=None, film_scale=None,
+                      film_shift=None, *, groups: int = 32, eps: float = 1e-5,
+                      apply_silu: bool = True):
+    """jnp formulation (flax GroupNorm numerics); ground truth + fallback."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32)
+    if add is not None:
+        xf = xf + add.astype(jnp.float32)[:, None, None, :]
+    xg = xf.reshape(b, h * w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mean * mean
+    yg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = yg.reshape(b, h, w, c) * gamma.astype(jnp.float32) \
+        + beta.astype(jnp.float32)
+    if film_scale is not None:
+        y = y * (1.0 + film_scale.astype(jnp.float32)[:, None, None, :]) \
+            + film_shift.astype(jnp.float32)[:, None, None, :]
+    if apply_silu:
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+def _use_kernel(x, groups: int) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    b, h, w, c = x.shape
+    return (c % groups == 0 and c % 128 == 0 and (h * w) % 8 == 0
+            and h * w * c <= MAX_ELEMS_PER_SAMPLE)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _gn_silu(x, gamma, beta, add, film_scale, film_shift,
+             groups: int, eps: float, apply_silu: bool):
+    if _use_kernel(x, groups):
+        return _gn_silu_pallas(x, gamma, beta, add, film_scale, film_shift,
+                               groups=groups, eps=eps, apply_silu=apply_silu)
+    return gn_silu_reference(x, gamma, beta, add, film_scale, film_shift,
+                             groups=groups, eps=eps, apply_silu=apply_silu)
+
+
+def _gn_silu_fwd(x, gamma, beta, add, film_scale, film_shift,
+                 groups, eps, apply_silu):
+    out = _gn_silu(x, gamma, beta, add, film_scale, film_shift,
+                   groups, eps, apply_silu)
+    return out, (x, gamma, beta, add, film_scale, film_shift)
+
+
+def _gn_silu_bwd(groups, eps, apply_silu, res, g):
+    x, gamma, beta, add, film_scale, film_shift = res
+    b, h, w, c = x.shape
+    cg = c // groups
+    n = h * w * cg
+
+    xf = x.astype(jnp.float32)
+    if add is not None:
+        xf = xf + add.astype(jnp.float32)[:, None, None, :]
+    xg = xf.reshape(b, h * w, groups, cg)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = ((xg - mean) * rstd).reshape(b, h, w, c)
+
+    gammaf = gamma.astype(jnp.float32)
+    z = xhat * gammaf + beta.astype(jnp.float32)
+    if film_scale is not None:
+        fs = film_scale.astype(jnp.float32)[:, None, None, :]
+        fsh = film_shift.astype(jnp.float32)[:, None, None, :]
+        wv = z * (1.0 + fs) + fsh
+    else:
+        wv = z
+
+    gf = g.astype(jnp.float32)
+    if apply_silu:
+        sig = jax.nn.sigmoid(wv)
+        dw = gf * sig * (1.0 + wv * (1.0 - sig))
+    else:
+        dw = gf
+
+    if film_scale is not None:
+        d_fs = jnp.sum(dw * z, axis=(1, 2)).astype(film_scale.dtype)
+        d_fsh = jnp.sum(dw, axis=(1, 2)).astype(film_shift.dtype)
+        dz = dw * (1.0 + fs)
+    else:
+        d_fs = d_fsh = None
+        dz = dw
+
+    d_gamma = jnp.sum(dz * xhat, axis=(0, 1, 2)).astype(gamma.dtype)
+    d_beta = jnp.sum(dz, axis=(0, 1, 2)).astype(beta.dtype)
+
+    dxhat = (dz * gammaf).reshape(b, h * w, groups, cg)
+    xhat_g = xhat.reshape(b, h * w, groups, cg)
+    m1 = jnp.mean(dxhat, axis=(1, 3), keepdims=True)
+    m2 = jnp.mean(dxhat * xhat_g, axis=(1, 3), keepdims=True)
+    dxg = rstd * (dxhat - m1 - xhat_g * m2)
+    dx = dxg.reshape(b, h, w, c)
+
+    d_add = (jnp.sum(dx, axis=(1, 2)).astype(add.dtype)
+             if add is not None else None)
+    return dx.astype(x.dtype), d_gamma, d_beta, d_add, d_fs, d_fsh
+
+
+_gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+
+def gn_silu(x, gamma, beta, add=None, film_scale=None, film_shift=None, *,
+            groups: int = 32, eps: float = 1e-5, apply_silu: bool = True):
+    """Fused GroupNorm(+add|+FiLM)(+SiLU); see module docstring.
+
+    x: [B,H,W,C]; gamma/beta: [C]; add / film_scale / film_shift: [B,C]
+    (``add`` is applied before the statistics, FiLM after the affine).
+    Returns x.dtype; statistics in float32.
+    """
+    assert (film_scale is None) == (film_shift is None)
+    assert add is None or film_scale is None, "add and FiLM are exclusive"
+    return _gn_silu(x, gamma, beta, add, film_scale, film_shift,
+                    groups, eps, apply_silu)
