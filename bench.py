@@ -26,6 +26,7 @@ calls per step (reference ddim.py:177-178).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -48,6 +49,7 @@ A100_MFU = 0.40
 def main() -> None:
     from stedm_tpu.core.schedules import DiffusionSchedule
     from stedm_tpu.models.stedm import STEDM
+    from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
     from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
 
     model = STEDM(
@@ -65,6 +67,20 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
 
+    def warm(fn, *args, attempts=4):
+        # the remote-compile tunnel drops long-running compile requests
+        # ("Broken pipe" after ~25-30 min); retrying re-issues the request and
+        # can complete against server-side compile progress/cache
+        for i in range(attempts):
+            try:
+                return fn(*args)
+            except jax.errors.JaxRuntimeError as e:
+                if i == attempts - 1 or "remote_compile" not in str(e):
+                    raise
+                print(f"remote compile dropped (attempt {i + 1}), retrying",
+                      file=sys.stderr)
+                time.sleep(20)
+
     rng = jax.random.PRNGKey(0)
     batch = {
         "segmentation": jnp.zeros((BATCH, PATCH, PATCH, 2), jnp.float32).at[..., 0].set(1.0),
@@ -73,8 +89,8 @@ def main() -> None:
             jnp.float32),
     }
     init_img = jnp.zeros((BATCH, PATCH, PATCH, 3), jnp.float32)
-    params = model.init(rng, init_img, batch["segmentation"], batch["style_imgs"],
-                        jnp.zeros((BATCH,), jnp.int32))["params"]
+    params = warm(model.init, rng, init_img, batch["segmentation"],
+                  batch["style_imgs"], jnp.zeros((BATCH,), jnp.int32))["params"]
     # zero-init output convs would NaN the CFG rescale on an untrained model
     params = jax.tree_util.tree_map(
         lambda p: p + 0.005 if p.ndim == 4 else p, params)
@@ -82,9 +98,18 @@ def main() -> None:
     schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
     base = dict(ddim_steps=STEPS, eta=0.0, cfg_scale=1.5, rescale_phi=0.7,
                 batched_cfg=True, downsample=4)
-    sample_exact = jax.jit(make_sample_fn(model, schedule, SamplerConfig(**base)))
-    sample = jax.jit(make_sample_fn(
-        model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base)))
+    if host_loop_default():
+        # axon tunnel: XLA-loop programs exceed the remote-compile request
+        # limit; the host-driven twin runs the identical per-step math and
+        # pipelines at device speed (stedm_tpu/train/host_sampler.py)
+        sample_exact = make_host_sample_fn(model, schedule, SamplerConfig(**base))
+        sample = make_host_sample_fn(
+            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base))
+    else:
+        sample_exact = jax.jit(make_sample_fn(model, schedule,
+                                              SamplerConfig(**base)))
+        sample = jax.jit(make_sample_fn(
+            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base)))
 
     mean = jax.jit(lambda x: x.mean())
 
@@ -94,7 +119,7 @@ def main() -> None:
         # inflation), so the clock stops on a 4-byte host readback that DEPENDS
         # on every iteration's output (scalar means summed) — true completion,
         # no image-transfer overhead in the measurement
-        img = fn(params, batch, rng)          # warmup / compile
+        img = warm(fn, params, batch, rng)    # warmup / compile (with retry)
         float(mean(img))                       # full sync
         t0 = time.perf_counter()
         means = [mean(fn(params, batch, jax.random.fold_in(rng, i)))
@@ -103,8 +128,13 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return BATCH * n_iters / dt, img
 
-    imgs_per_sec, img_cached = timed(sample)
-    exact_ips, img_exact = timed(sample_exact)
+    # optional xprof trace of the timed region (STEDM_TRACE_DIR=/tmp/xprof):
+    # view with tensorboard/xprof; no-op when unset
+    from stedm_tpu.utils.report import profile_trace
+
+    with profile_trace(os.environ.get("STEDM_TRACE_DIR")):
+        imgs_per_sec, img_cached = timed(sample)
+        exact_ips, img_exact = timed(sample_exact)
     # deviation of the serving mode from the exact reference trajectory ([-1,1] px)
     mse = float(jnp.mean((img_cached - img_exact) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))

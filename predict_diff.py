@@ -124,8 +124,6 @@ def main(argv: list[str]) -> None:
     rep = replicated(mesh)
     dp = batch_sharding(mesh)
     params = jax.device_put(params, rep)
-    sample = jax.jit(make_sample_fn(model, schedule, sampler_cfg),
-                     in_shardings=(rep, dp, None), out_shardings=dp)
 
     # multi-host: rank-interleaved predict grid (the reference's DDP predict
     # sampler, predict_diff.py:84-89); each process loads/writes only its share
@@ -149,6 +147,23 @@ def main(argv: list[str]) -> None:
             raise SystemExit(f"canvas_size {canvas} must be a multiple of the "
                              f"training patch {p}")
         grid = canvas // p
+
+    # under the axon tunnel, XLA-loop programs exceed the remote-compile limit:
+    # single-device non-canvas DDIM switches to the host-driven sampler (same
+    # per-step math; stedm_tpu/train/host_sampler.py). Override with
+    # `+host_loop=true/false`.
+    from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
+
+    use_host = cfg.get("host_loop", None)
+    if use_host is None:
+        use_host = (host_loop_default() and sampler_cfg.method == "ddim"
+                    and grid == 1 and n_devices == 1
+                    and jax.process_count() == 1)
+    if use_host:
+        sample = make_host_sample_fn(model, schedule, sampler_cfg)
+    else:
+        sample = jax.jit(make_sample_fn(model, schedule, sampler_cfg),
+                         in_shardings=(rep, dp, None), out_shardings=dp)
 
     for batch_idx, np_batch in enumerate(loader):
         ldm_batch = batch_to_ldm(np_batch)

@@ -31,14 +31,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# largest per-sample element count the single-pass kernel will take: the bf16
-# block + fp32 temporaries must fit VMEM (~16MB). 2^20 elems = 2MB bf16 in,
-# ~4MB fp32 working set, 2MB out.
+# largest per-sample element count the single-pass kernel will take. The
+# scoped-VMEM budget is ~16MB and Mosaic double-buffers the in/out blocks
+# across grid steps, so the footprint is ~4x the bf16 slab plus the chunked
+# fp32 working set: 2^20 elems = 4 x 2MB + ~1MB. (2^21 measured to OOM by 2KB.)
 MAX_ELEMS_PER_SAMPLE = 1 << 20
+
+# fp32 working-set target per chunk (elements); chunk rows are multiples of 16
+# to respect the bf16 sublane tile
+_CHUNK_ELEMS = 128 * 1024
+
+
+def _row_chunks(hw: int, c: int) -> list[tuple[int, int]]:
+    """Static (start, size) row chunks keeping the fp32 working set ~small;
+    chunk starts/sizes are multiples of 16 (bf16 sublane tile) except a ragged
+    tail."""
+    rows = max(16, (_CHUNK_ELEMS // max(c, 1)) // 16 * 16)
+    return [(s, min(rows, hw - s)) for s in range(0, hw, rows)]
 
 
 def _make_kernel(groups: int, n_per_group: int, eps: float, has_add: bool,
-                 has_film: bool, apply_silu: bool):
+                 has_film: bool, apply_silu: bool, hw: int, c: int):
+    chunks = _row_chunks(hw, c)
+
     def kernel(*refs):
         it = iter(refs)
         x_ref = next(it)
@@ -51,15 +66,29 @@ def _make_kernel(groups: int, n_per_group: int, eps: float, has_add: bool,
         out_ref = next(it)
 
         # per-sample vectors ride in as full [B, C] blocks (a (1, C) block over
-        # a (B, C) array violates the TPU sublane rule); pick this program's row
+        # a (B, C) array violates the TPU sublane rule, and a dynamic sublane
+        # index is not provably 8-aligned) — select this program's row by mask
         i = pl.program_id(0)
-        xf = x_ref[0].astype(jnp.float32)        # [HW, C]
-        if has_add:
-            xf = xf + add_ref[pl.ds(i, 1), :].astype(jnp.float32)  # [1, C]
+
+        def row(ref):                            # [B, C] -> [1, C] (row i)
+            full = ref[:].astype(jnp.float32)
+            ids = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+            return jnp.sum(jnp.where(ids == i, full, 0.0), axis=0, keepdims=True)
+
+        add = row(add_ref) if has_add else None
+
+        # pass 1: per-channel sums, streamed over row chunks so the fp32
+        # working set stays ~_CHUNK_ELEMS (the bf16 block itself is resident)
+        s = jnp.zeros((1, c), jnp.float32)
+        sq = jnp.zeros((1, c), jnp.float32)
+        for start, size in chunks:
+            xc = x_ref[0, start:start + size, :].astype(jnp.float32)
+            if has_add:
+                xc = xc + add
+            s = s + jnp.sum(xc, axis=0, keepdims=True)
+            sq = sq + jnp.sum(xc * xc, axis=0, keepdims=True)
 
         mask = mask_ref[:]
-        s = jnp.sum(xf, axis=0, keepdims=True)           # [1, C]
-        sq = jnp.sum(xf * xf, axis=0, keepdims=True)     # [1, C]
         inv_n = 1.0 / n_per_group
         mean_g = jnp.dot(s, mask, preferred_element_type=jnp.float32) * inv_n
         msq_g = jnp.dot(sq, mask, preferred_element_type=jnp.float32) * inv_n
@@ -71,14 +100,22 @@ def _make_kernel(groups: int, n_per_group: int, eps: float, has_add: bool,
                                      preferred_element_type=jnp.float32)
         rstd_c = jax.lax.dot_general(rstd_g, mask, contract,
                                      preferred_element_type=jnp.float32)
+        g_c = rstd_c * gamma_ref[:]
+        fs = (1.0 + row(fs_ref)) if has_film else None
+        fsh = row(fsh_ref) if has_film else None
 
-        y = (xf - mean_c) * (rstd_c * gamma_ref[:]) + beta_ref[:]
-        if has_film:
-            y = y * (1.0 + fs_ref[pl.ds(i, 1), :].astype(jnp.float32)) \
-                + fsh_ref[pl.ds(i, 1), :].astype(jnp.float32)
-        if apply_silu:
-            y = y * jax.nn.sigmoid(y)
-        out_ref[0] = y.astype(out_ref.dtype)
+        # pass 2: normalize+activate per chunk (VMEM-resident block, no HBM
+        # re-read), write through
+        for start, size in chunks:
+            xc = x_ref[0, start:start + size, :].astype(jnp.float32)
+            if has_add:
+                xc = xc + add
+            y = (xc - mean_c) * g_c + beta_ref[:]
+            if has_film:
+                y = y * fs + fsh
+            if apply_silu:
+                y = y * jax.nn.sigmoid(y)
+            out_ref[0, start:start + size, :] = y.astype(out_ref.dtype)
 
     return kernel
 
@@ -113,7 +150,7 @@ def _gn_silu_pallas(x, gamma, beta, add, film_scale, film_shift, *,
         in_specs.extend([per_sample, per_sample])
 
     kernel = _make_kernel(groups, hw * cg, eps, add is not None,
-                          film_scale is not None, apply_silu)
+                          film_scale is not None, apply_silu, hw, c)
     out = pl.pallas_call(
         kernel,
         grid=(b,),

@@ -1,0 +1,51 @@
+"""Host-driven sampler (`make_host_sample_fn`) vs the scanned sampler.
+
+The host loop must reproduce the scanned trajectory exactly (same per-step
+jitted math, step constants as scalar args) in every supported mode: exact
+DDIM, all CFG variants, and the DeepCache-style cached serving mode."""
+
+import jax
+import numpy as np
+import pytest
+
+from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
+from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
+
+from tests.test_deepcache import tiny  # noqa: F401  (fixture reuse)
+
+
+def _pair(tiny, **kw):  # noqa: F811
+    model, params, batch, schedule = tiny
+    cfg = SamplerConfig(ddim_steps=kw.pop("ddim_steps", 6), eta=0.0,
+                        rescale_phi=0.7, downsample=4, **kw)
+    scan_fn = jax.jit(make_sample_fn(model, schedule, cfg))
+    host_fn = make_host_sample_fn(model, schedule, cfg)
+    rng = jax.random.PRNGKey(3)
+    return (np.asarray(scan_fn(params, batch, rng)),
+            np.asarray(host_fn(params, batch, rng)))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(cfg_scale=1.5, batched_cfg=True),               # shared-encoder CFG
+    dict(cfg_scale=1.5, batched_cfg=False),              # two-call CFG
+    dict(cfg_scale=1.0, use_cfg=False),                  # no CFG
+    dict(cfg_scale=1.5, batched_cfg=True, cache_interval=2),   # serving mode
+    dict(cfg_scale=1.5, batched_cfg=True, cache_interval=3,
+         ddim_steps=7),                                  # ragged tail
+    dict(cfg_scale=1.0, use_cfg=False, cache_interval=2),      # cached, no CFG
+])
+def test_host_matches_scan(tiny, kw):  # noqa: F811
+    scan, host = _pair(tiny, **kw)
+    np.testing.assert_allclose(host, scan, atol=2e-5)
+
+
+def test_rejects_unsupported(tiny):  # noqa: F811
+    model, params, batch, schedule = tiny
+    with pytest.raises(NotImplementedError):
+        make_host_sample_fn(model, schedule,
+                            SamplerConfig(method="plms"))
+
+
+def test_host_loop_default_cpu():
+    # tests force the CPU platform, so the tunnel heuristic must say False
+    assert host_loop_default() is False

@@ -38,7 +38,7 @@ from stedm_tpu.parallel.mesh import (
 )
 from stedm_tpu.train import checkpoints
 from stedm_tpu.train.optim import make_optimizer, scaled_lr
-from stedm_tpu.train.steps import create_train_state, make_sample_fn, make_train_step
+from stedm_tpu.train.steps import create_train_state, make_train_step
 from stedm_tpu.train.steps import SamplerConfig
 from stedm_tpu.utils.logging import EventLogger
 
@@ -263,9 +263,11 @@ def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
     if not styles:
         return
 
+    from stedm_tpu.train.host_sampler import make_auto_sample_fn
+
     steps = cfg.get("preview_ddim_steps", 128)  # reference uses 128 (ldm_diffusion.py:185)
-    sample = jax.jit(make_sample_fn(model, schedule, SamplerConfig(
-        ddim_steps=steps, eta=0.0, cfg_scale=1.0, use_cfg=False, downsample=4)))
+    sample = make_auto_sample_fn(model, schedule, SamplerConfig(
+        ddim_steps=steps, eta=0.0, cfg_scale=1.0, use_cfg=False, downsample=4))
     imgs = []
     for style in styles:
         batch = {"segmentation": jnp.asarray(one_hot),
@@ -282,9 +284,9 @@ def preview_previews(cfg, model, schedule, state, logger, epoch) -> None:
             batch = {"segmentation": jnp.asarray(one_hot),
                      "style_imgs": jnp.asarray(style)}
             for scale in (3.0, 5.0):
-                cfg_sample = jax.jit(make_sample_fn(model, schedule, SamplerConfig(
+                cfg_sample = make_auto_sample_fn(model, schedule, SamplerConfig(
                     ddim_steps=steps, eta=0.0, cfg_scale=scale, rescale_phi=0.7,
-                    batched_cfg=True, downsample=4)))
+                    batched_cfg=True, downsample=4))
                 img = cfg_sample(state.params, batch, jax.random.PRNGKey(epoch))
                 cfg_imgs.append(np.asarray(img[0]))
         logger.log_images("Sample Images CFG", cfg_imgs, step=epoch)
