@@ -186,6 +186,10 @@ def gn_silu_reference(x, gamma, beta, add=None, film_scale=None,
 
 
 def _use_kernel(x, groups: int) -> bool:
+    import os
+
+    if os.environ.get("STEDM_NO_FUSED_GN"):  # A/B kill-switch (bench/profiling)
+        return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     b, h, w, c = x.shape

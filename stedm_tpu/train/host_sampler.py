@@ -60,13 +60,16 @@ def make_auto_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
 
 def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
-                        cfg: SamplerConfig) -> Callable:
+                        cfg: SamplerConfig, unroll: int | None = None
+                        ) -> Callable:
     """Build a host-driven sampler with `make_sample_fn` semantics
     (reference predict_step, modules/ldm_diffusion.py:76-107): returns
     ``sample(params, batch, rng) -> images in [-1, 1]``.
 
-    The returned callable is NOT jittable (it is already composed of jitted
-    pieces); do not wrap it in jax.jit.
+    ``unroll``: steps dispatched per jitted block in exact mode (default: the
+    largest of 5..2 dividing the step count). Cached serving mode always blocks
+    by ``cache_interval``. The returned callable is NOT jittable (it is already
+    composed of jitted pieces); do not wrap it in jax.jit.
     """
     if cfg.method != "ddim":
         raise NotImplementedError(
@@ -133,33 +136,58 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         x_prev, _ = ddim_step(x, e_t, a_t, a_prev, sigma_t, sq1m, noise=noise)
         return x_prev
 
-    @jax.jit
-    def step(var, x, seg_cond, ctx, t, a_t, a_prev, sigma_t, sq1m, key):
-        ts = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-        return update(x, eps_pair(var, x, ts, seg_cond, ctx),
-                      a_t, a_prev, sigma_t, sq1m, key)
+    # ---- block partition -------------------------------------------------
+    # dispatch k consecutive steps as ONE jitted program with the body
+    # unrolled inline (no XLA loop construct, so the tunnel's compile service
+    # handles it) — k-fold fewer host dispatches. In cached serving mode the
+    # natural block is [full refresh + (interval-1) cached steps], so the deep
+    # -feature cache never leaves the program. Exact mode prefers an unroll
+    # factor dividing the step count to avoid compiling a tail-size program.
+    steps = ddim.num_steps
+    if interval > 1:
+        block_k = interval
+    elif unroll:
+        block_k = int(unroll)
+    else:
+        block_k = next((k for k in (5, 4, 3, 2) if steps % k == 0),
+                       min(5, steps))
+    sizes = [min(block_k, steps - s) for s in range(0, steps, block_k)]
 
-    @jax.jit
-    def step_full(var, x, seg_cond, ctx, t, a_t, a_prev, sigma_t, sq1m, key):
-        b = x.shape[0]
-        ts = jnp.full((b,), t, dtype=jnp.int32)
-        if use_cfg:  # shared-encoder fan-out guaranteed by the ctor check
-            e, cache = model.apply(var, x, ts, seg_cond, ctx, cfg.cache_levels,
-                                   method=model.eps_full)
-            out = (e[:b], e[b:])
-        else:
-            out, cache = model.apply(var, x, ts, seg_cond, ctx,
-                                     cfg.cache_levels, method=model.eps_full)
-        return update(x, out, a_t, a_prev, sigma_t, sq1m, key), cache
+    def _make_block(k: int):
+        def fn(var, x, seg_cond, ctx, tb, ab, apb, sgb, sqb, keys):
+            b = x.shape[0]
+            cache = None
+            for j in range(k):  # static unroll
+                ts = jnp.full((b,), tb[j], dtype=jnp.int32)
+                key = keys[j] if stochastic else keys
+                if interval > 1 and j == 0:
+                    if use_cfg:  # shared-encoder fan-out (ctor-checked)
+                        e, cache = model.apply(var, x, ts, seg_cond, ctx,
+                                               cfg.cache_levels,
+                                               method=model.eps_full)
+                        out = (e[:b], e[b:])
+                    else:
+                        out, cache = model.apply(var, x, ts, seg_cond, ctx,
+                                                 cfg.cache_levels,
+                                                 method=model.eps_full)
+                elif interval > 1:
+                    e = model.apply(var, x, ts, seg_cond, cache,
+                                    cfg.cache_levels, method=model.eps_cached)
+                    out = (e[:b], e[b:]) if use_cfg else e
+                else:
+                    out = eps_pair(var, x, ts, seg_cond, ctx)
+                x = update(x, out, ab[j], apb[j], sgb[j], sqb[j], key)
+            return x
+        return jax.jit(fn, donate_argnums=(1,))
 
-    @jax.jit
-    def step_cached(var, x, seg_cond, cache, t, a_t, a_prev, sigma_t, sq1m, key):
-        b = x.shape[0]
-        ts = jnp.full((b,), t, dtype=jnp.int32)
-        e = model.apply(var, x, ts, seg_cond, cache, cfg.cache_levels,
-                        method=model.eps_cached)
-        out = (e[:b], e[b:]) if use_cfg else e
-        return update(x, out, a_t, a_prev, sigma_t, sq1m, key)
+    block_fns = {k: _make_block(k) for k in sorted(set(sizes))}
+    # per-block step constants as device-resident [k] arrays, built once
+    block_consts = []
+    start = 0
+    for k in sizes:
+        block_consts.append(tuple(jnp.asarray(c[start:start + k])
+                                  for c in consts))
+        start += k
 
     @jax.jit
     def decode(var, z):
@@ -180,21 +208,13 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         x = jax.random.normal(rng, latent, dtype=jnp.float32)
 
         # same key sequence as ddim_sample's step_keys (index 0 = highest noise)
-        step_keys = jax.random.split(rng, ddim.num_steps) if stochastic else None
+        step_keys = jax.random.split(rng, steps) if stochastic else None
 
-        cache = None
-        for i in range(ddim.num_steps):
-            t, a_t, a_prev, sg, sq = (c[i] for c in consts)
-            key = step_keys[i] if stochastic else rng
-            if interval > 1:
-                if i % interval == 0:
-                    x, cache = step_full(var, x, seg_cond, ctx, t, a_t,
-                                         a_prev, sg, sq, key)
-                else:
-                    x = step_cached(var, x, seg_cond, cache, t, a_t,
-                                    a_prev, sg, sq, key)
-            else:
-                x = step(var, x, seg_cond, ctx, t, a_t, a_prev, sg, sq, key)
+        i = 0
+        for k, cb in zip(sizes, block_consts):
+            keys = step_keys[i:i + k] if stochastic else rng
+            x = block_fns[k](var, x, seg_cond, ctx, *cb, keys)
+            i += k
         return decode(var, x)
 
     return sample
