@@ -38,10 +38,12 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/stedm_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BATCH = 8
+BATCH = int(os.environ.get("STEDM_BENCH_BATCH", 8))
 PATCH = 256
 STEPS = 50
 CACHE_INTERVAL = 3   # serving mode: refresh the deep trunk every 3rd step
+# host-sampler steps per dispatched block (tuning knob; None = auto)
+UNROLL = int(os.environ.get("STEDM_BENCH_UNROLL", 0)) or None
 A100_BF16_FLOPS = 312e12
 A100_MFU = 0.40
 
@@ -102,9 +104,11 @@ def main() -> None:
         # axon tunnel: XLA-loop programs exceed the remote-compile request
         # limit; the host-driven twin runs the identical per-step math and
         # pipelines at device speed (stedm_tpu/train/host_sampler.py)
-        sample_exact = make_host_sample_fn(model, schedule, SamplerConfig(**base))
+        sample_exact = make_host_sample_fn(model, schedule, SamplerConfig(**base),
+                                           unroll=UNROLL)
         sample = make_host_sample_fn(
-            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base))
+            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base),
+            unroll=UNROLL)
     else:
         sample_exact = jax.jit(make_sample_fn(model, schedule,
                                               SamplerConfig(**base)))

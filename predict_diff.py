@@ -156,7 +156,8 @@ def main(argv: list[str]) -> None:
 
     use_host = cfg.get("host_loop", None)
     if use_host is None:
-        use_host = (host_loop_default() and sampler_cfg.method == "ddim"
+        use_host = (host_loop_default()
+                    and sampler_cfg.method in ("ddim", "plms", "dpm")
                     and grid == 1 and n_devices == 1
                     and jax.process_count() == 1)
     if use_host:

@@ -17,8 +17,9 @@ one compile for all steps. Trajectories are verified equal to the scanned
 sampler by `tests/test_host_sampler.py`.
 
 Use `host_loop_default()` to decide: True under the axon tunnel, False on real
-TPU slices / CPU where the scanned program is preferable. PLMS / DPM-Solver and
-tiled canvases remain scan-only (use `make_sample_fn`).
+TPU slices / CPU where the scanned program is preferable. DDIM (exact and
+DeepCache-cached), PLMS, and DPM-Solver++(2M) are supported; tiled canvases
+remain scan-only (use `make_sample_fn`).
 """
 
 from __future__ import annotations
@@ -52,7 +53,7 @@ def make_auto_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     single-canvas, single-process), else the jitted scanned sampler. Callers
     that shard over a mesh or synthesize canvases should use `make_sample_fn`
     directly."""
-    if host_loop_default() and cfg.method == "ddim":
+    if host_loop_default() and cfg.method in ("ddim", "plms", "dpm"):
         return make_host_sample_fn(model, schedule, cfg)
     from stedm_tpu.train.steps import make_sample_fn
 
@@ -68,13 +69,15 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
     ``unroll``: steps dispatched per jitted block in exact mode (default: the
     largest of 5..2 dividing the step count). Cached serving mode always blocks
-    by ``cache_interval``. The returned callable is NOT jittable (it is already
-    composed of jitted pieces); do not wrap it in jax.jit.
+    by ``cache_interval``. Methods: ddim (incl. cached serving mode), plms,
+    dpm — the multistep state (eps history / previous x0) threads through the
+    blocks as donated arrays, and the multistep coefficients are schedule
+    -static so each order is a static branch, not a `lax.cond`. The returned
+    callable is NOT jittable (it is already composed of jitted pieces); do not
+    wrap it in jax.jit.
     """
-    if cfg.method != "ddim":
-        raise NotImplementedError(
-            "host-loop sampling supports DDIM only; use make_sample_fn "
-            f"(scan) for method={cfg.method!r}")
+    if cfg.method not in ("ddim", "plms", "dpm"):
+        raise NotImplementedError(f"unknown sampler method {cfg.method!r}")
 
     ddim = DDIMParams.create(schedule, cfg.ddim_steps, cfg.eta)
     use_cfg = cfg.use_cfg and cfg.cfg_scale != 1.0
@@ -136,6 +139,49 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         x_prev, _ = ddim_step(x, e_t, a_t, a_prev, sigma_t, sq1m, noise=noise)
         return x_prev
 
+    def eval_e(var, x, ts, seg_cond, ctx):
+        """CFG-resolved eps prediction, float32."""
+        out = eps_pair(var, x, ts, seg_cond, ctx)
+        if use_cfg:
+            return rescaled_cfg(out[0], out[1], scale, cfg.rescale_phi)
+        return out
+
+    @jax.jit
+    def decode(var, z):
+        return jnp.clip(model.apply(var, z, method=model.decode_first_stage),
+                        -1.0, 1.0)
+
+    def _sample_shell(block_loop):
+        """Common wrapper: conditioning prep, x_T draw, block loop, decode."""
+        def sample(params, batch: dict, rng: jax.Array) -> jnp.ndarray:
+            var = {"params": {k: v for k, v in params.items() if k != "logvar"}}
+            seg = batch["segmentation"]
+            b, p = seg.shape[0], seg.shape[1]
+            if p > model.patch_size:
+                raise NotImplementedError(
+                    "tiled canvases are scan-only; use make_sample_fn")
+            seg_cond, ctx = prep(var, batch)
+            latent = (b, p // cfg.downsample, p // cfg.downsample,
+                      cfg.latent_channels)
+            x = jax.random.normal(rng, latent, dtype=jnp.float32)
+            return decode(var, block_loop(var, x, seg_cond, ctx, rng))
+        return sample
+
+    def _partition(steps: int, k: int) -> list[int]:
+        return [min(k, steps - s) for s in range(0, steps, k)]
+
+    def _default_unroll(steps: int) -> int:
+        if unroll:
+            return int(unroll)
+        return next((k for k in (5, 4, 3, 2) if steps % k == 0), min(5, steps))
+
+    if cfg.method == "plms":
+        return _sample_shell(_plms_blocks(
+            model, cfg, ddim, eval_e, _partition, _default_unroll))
+    if cfg.method == "dpm":
+        return _sample_shell(_dpm_blocks(
+            model, cfg, schedule, eval_e, _partition, _default_unroll))
+
     # ---- block partition -------------------------------------------------
     # dispatch k consecutive steps as ONE jitted program with the body
     # unrolled inline (no XLA loop construct, so the tunnel's compile service
@@ -145,7 +191,9 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     # factor dividing the step count to avoid compiling a tail-size program.
     steps = ddim.num_steps
     if interval > 1:
-        block_k = interval
+        # cached mode blocks by whole refresh periods; unroll m periods/block
+        m = max(1, int(unroll) // interval) if unroll else 1
+        block_k = interval * m
     elif unroll:
         block_k = int(unroll)
     else:
@@ -160,7 +208,7 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
             for j in range(k):  # static unroll
                 ts = jnp.full((b,), tb[j], dtype=jnp.int32)
                 key = keys[j] if stochastic else keys
-                if interval > 1 and j == 0:
+                if interval > 1 and j % interval == 0:
                     if use_cfg:  # shared-encoder fan-out (ctor-checked)
                         e, cache = model.apply(var, x, ts, seg_cond, ctx,
                                                cfg.cache_levels,
@@ -189,32 +237,137 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                                   for c in consts))
         start += k
 
-    @jax.jit
-    def decode(var, z):
-        return jnp.clip(model.apply(var, z, method=model.decode_first_stage),
-                        -1.0, 1.0)
-
-    def sample(params, batch: dict, rng: jax.Array) -> jnp.ndarray:
-        var = {"params": {k: v for k, v in params.items() if k != "logvar"}}
-        seg = batch["segmentation"]
-        b, p = seg.shape[0], seg.shape[1]
-        if p > model.patch_size:
-            raise NotImplementedError(
-                "tiled canvases are scan-only; use make_sample_fn")
-        seg_cond, ctx = prep(var, batch)
-
-        latent = (b, p // cfg.downsample, p // cfg.downsample,
-                  cfg.latent_channels)
-        x = jax.random.normal(rng, latent, dtype=jnp.float32)
-
+    def block_loop(var, x, seg_cond, ctx, rng):
         # same key sequence as ddim_sample's step_keys (index 0 = highest noise)
         step_keys = jax.random.split(rng, steps) if stochastic else None
-
         i = 0
         for k, cb in zip(sizes, block_consts):
             keys = step_keys[i:i + k] if stochastic else rng
             x = block_fns[k](var, x, seg_cond, ctx, *cb, keys)
             i += k
-        return decode(var, x)
+        return x
 
-    return sample
+    return _sample_shell(block_loop)
+
+
+def _plms_blocks(model, cfg, ddim, eval_e, partition, default_unroll):
+    """Host-block PLMS (counterpart of `core/plms.py`'s scan): the eps history
+    threads through blocks as three donated arrays, and the Adams-Bashforth
+    order at each position is STATIC (position-determined), so the scan's
+    `lax.cond`/`where` order dispatch disappears."""
+    steps = ddim.num_steps
+    idx = np.arange(steps - 1, -1, -1)           # position -> ddim table index
+    ts_seq = np.asarray(ddim.timesteps)[idx]
+    ts_next = np.concatenate([ts_seq[1:], np.zeros(1, ts_seq.dtype)])
+    tables = [np.asarray(a)[idx] for a in
+              (ddim.alphas, ddim.alphas_prev, ddim.sigmas,
+               ddim.sqrt_one_minus_alphas)]
+
+    sizes = partition(steps, default_unroll(steps))
+
+    def make_block(k: int, pattern: tuple[int, ...]):
+        def fn(var, x, h0, h1, h2, seg_cond, ctx, tb, tnb, ab, apb, sgb, sqb):
+            b = x.shape[0]
+            for j in range(k):  # static unroll; pattern[j] = AB order in use
+                ts = jnp.full((b,), tb[j], jnp.int32)
+                e_t = eval_e(var, x, ts, seg_cond, ctx)
+                n = pattern[j]
+                if n == 0:
+                    # 2-evaluation trapezoid bootstrap (reference plms.py)
+                    x_prev0 = ddim_step(x, e_t, ab[j], apb[j], sgb[j], sqb[j])[0]
+                    tsn = jnp.full((b,), tnb[j], jnp.int32)
+                    e_next = eval_e(var, x_prev0, tsn, seg_cond, ctx)
+                    e_prime = (e_t + e_next) / 2.0
+                elif n == 1:
+                    e_prime = (3.0 * e_t - h0) / 2.0
+                elif n == 2:
+                    e_prime = (23.0 * e_t - 16.0 * h0 + 5.0 * h1) / 12.0
+                else:
+                    e_prime = (55.0 * e_t - 59.0 * h0 + 37.0 * h1
+                               - 9.0 * h2) / 24.0
+                x = ddim_step(x, e_prime, ab[j], apb[j], sgb[j], sqb[j])[0]
+                h0, h1, h2 = e_t, h0, h1
+            return x, h0, h1, h2
+        return jax.jit(fn, donate_argnums=(1, 2, 3, 4))
+
+    blocks = []
+    p0 = 0
+    fns = {}
+    for k in sizes:
+        pattern = tuple(min(p, 3) for p in range(p0, p0 + k))
+        key = (k, pattern)
+        if key not in fns:
+            fns[key] = make_block(k, pattern)
+        consts = tuple(jnp.asarray(c[p0:p0 + k])
+                       for c in (ts_seq, ts_next, *tables))
+        blocks.append((fns[key], consts))
+        p0 += k
+
+    def block_loop(var, x, seg_cond, ctx, rng):
+        # distinct buffers: the three history slots are donated, and donation
+        # rejects the same buffer appearing twice
+        h = [jnp.zeros_like(x) for _ in range(3)]
+        for fn, consts in blocks:
+            x, *h = fn(var, x, *h, seg_cond, ctx, *consts)
+        return x
+
+    return block_loop
+
+
+def _dpm_blocks(model, cfg, schedule, eval_e, partition, default_unroll):
+    """Host-block DPM-Solver++(2M) (counterpart of `core/dpm_solver.py`'s
+    scan): only the previous x0 prediction is runtime state; the step sizes
+    h_i — and hence every multistep coefficient — are schedule-static."""
+    num = cfg.ddim_steps
+    T = schedule.num_timesteps
+    ac = np.asarray(schedule.alphas_cumprod, dtype=np.float64)
+    t_grid = np.linspace(T - 1, 0, num + 1).round().astype(np.int64)
+    alpha = np.sqrt(ac[t_grid])
+    sigma = np.sqrt(1.0 - ac[t_grid])
+    lam = np.log(alpha) - np.log(sigma)
+    h = lam[1:] - lam[:-1]
+    r = np.concatenate([[1.0], h[:-1]]) / h      # r_0 unused (first step: D=x0)
+    consts_all = [np.asarray(a, np.float64) for a in (
+        t_grid[:-1], alpha[:-1], sigma[:-1], alpha[1:], sigma[1:],
+        np.expm1(-h), 1.0 + 1.0 / (2.0 * r), 1.0 / (2.0 * r))]
+
+    sizes = partition(num, default_unroll(num))
+
+    def make_block(k: int, first: bool):
+        def fn(var, x, x0_prev, seg_cond, ctx, tb, atb, stb, anb, snb,
+               emb, c1b, c2b):
+            b = x.shape[0]
+            for j in range(k):  # static unroll
+                ts = jnp.full((b,), tb[j], jnp.int32)
+                e = eval_e(var, x, ts, seg_cond, ctx)
+                x0 = (x - stb[j] * e.astype(jnp.float32)) / atb[j]
+                if first and j == 0:
+                    d = x0
+                else:
+                    d = c1b[j] * x0 - c2b[j] * x0_prev
+                x = (snb[j] / stb[j]) * x - anb[j] * emb[j] * d
+                x0_prev = x0
+            return x, x0_prev
+        return jax.jit(fn, donate_argnums=(1, 2))
+
+    blocks = []
+    fns = {}
+    s0 = 0
+    for bi, k in enumerate(sizes):
+        key = (k, bi == 0)
+        if key not in fns:
+            fns[key] = make_block(k, bi == 0)
+        consts = tuple(
+            jnp.asarray(c[s0:s0 + k],
+                        jnp.int32 if ci == 0 else jnp.float32)
+            for ci, c in enumerate(consts_all))
+        blocks.append((fns[key], consts))
+        s0 += k
+
+    def block_loop(var, x, seg_cond, ctx, rng):
+        x0_prev = jnp.zeros_like(x)
+        for fn, consts in blocks:
+            x, x0_prev = fn(var, x, x0_prev, seg_cond, ctx, *consts)
+        return x
+
+    return block_loop

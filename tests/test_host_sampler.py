@@ -33,6 +33,11 @@ def _pair(tiny, **kw):  # noqa: F811
     dict(cfg_scale=1.5, batched_cfg=True, cache_interval=3,
          ddim_steps=7),                                  # ragged tail
     dict(cfg_scale=1.0, use_cfg=False, cache_interval=2),      # cached, no CFG
+    dict(cfg_scale=1.5, batched_cfg=True, method="plms"),      # PLMS (AB4)
+    dict(cfg_scale=1.5, batched_cfg=True, method="plms",
+         ddim_steps=7),                                        # PLMS ragged
+    dict(cfg_scale=1.5, batched_cfg=True, method="dpm"),       # DPM-Solver++ 2M
+    dict(cfg_scale=1.0, use_cfg=False, method="dpm"),
 ])
 def test_host_matches_scan(tiny, kw):  # noqa: F811
     scan, host = _pair(tiny, **kw)
@@ -43,7 +48,7 @@ def test_rejects_unsupported(tiny):  # noqa: F811
     model, params, batch, schedule = tiny
     with pytest.raises(NotImplementedError):
         make_host_sample_fn(model, schedule,
-                            SamplerConfig(method="plms"))
+                            SamplerConfig(method="bogus"))
 
 
 def test_host_loop_default_cpu():
