@@ -42,8 +42,10 @@ BATCH = int(os.environ.get("STEDM_BENCH_BATCH", 8))
 PATCH = 256
 STEPS = 50
 CACHE_INTERVAL = 3   # serving mode: refresh the deep trunk every 3rd step
-# host-sampler steps per dispatched block (tuning knob; None = auto)
-UNROLL = int(os.environ.get("STEDM_BENCH_UNROLL", 0)) or None
+# host-sampler steps per dispatched block. Swept on-chip (2026-08-17):
+# unroll 10 / batch 8 won — exact 7.97 img/s, serving 18.05 (unroll 5:
+# 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
+UNROLL = int(os.environ.get("STEDM_BENCH_UNROLL", 10)) or None
 A100_BF16_FLOPS = 312e12
 A100_MFU = 0.40
 

@@ -1,0 +1,93 @@
+"""Flagship training-step throughput on the attached TPU chip.
+
+Times the full 512^2 STEDM training step (encode + cond + style + U-Net
+fwd/bwd + AdamW + EMA, bf16 compute) in steady state with the dependent
+-readback method (CLAUDE.md timing honesty). Params come from eval_shape +
+on-device fills — value-independent timing without the ~10-min real init.
+
+Also serves as the canary for whether the tunnel's AOT compile service accepts
+the train-step program (it contains no XLA loops; optax MultiSteps adds a
+`lax.cond`, probed separately via --accum).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/stedm_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--patch", type=int, default=512)
+    ap.add_argument("--accum", type=int, default=4,
+                    help="grad accumulation (reference train_diff.py:76); "
+                         "1 bypasses optax MultiSteps' lax.cond")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import tools.profile_sampler as ps
+
+    ps.PATCH = args.patch
+    ps.BATCH = args.batch
+    model = ps.build_model()
+    params = ps.shape_init_params(model)
+    print(f"backend: {jax.devices()[0]}; params ready", file=sys.stderr)
+
+    from stedm_tpu.core.schedules import DiffusionSchedule
+    from stedm_tpu.train.optim import make_optimizer
+    from stedm_tpu.train.steps import create_train_state, make_train_step
+
+    schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
+    tx = make_optimizer(1e-4, accumulate_grad_batches=args.accum)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, schedule, tx), donate_argnums=(0,))
+
+    b, p = args.batch, args.patch
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.uniform(-1, 1, (b, p, p, 3)), jnp.float32),
+        "segmentation": jnp.zeros((b, p, p, 2), jnp.float32).at[..., 0].set(1.0),
+        "style_imgs": jnp.asarray(rng.uniform(-1, 1, (b, 1, p, p, 3)),
+                                  jnp.float32),
+    }
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, key)
+    loss0 = float(metrics["loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s, "
+          f"loss={loss0:.4f}", file=sys.stderr)
+    assert np.isfinite(loss0)
+
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(args.iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(metrics["loss"])
+    total = float(jnp.stack(losses).sum())  # dependent readback stops the clock
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total)
+    print(json.dumps({
+        "metric": f"{p}x{p} training throughput",
+        "value": round(b * args.iters / dt, 3),
+        "unit": "samples/sec/chip",
+        "ms_per_step": round(1e3 * dt / args.iters, 1),
+        "accum": args.accum,
+    }))
+
+
+if __name__ == "__main__":
+    main()
