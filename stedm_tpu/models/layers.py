@@ -75,7 +75,24 @@ class GNSiLU(nn.Module):
     def __call__(self, x: jnp.ndarray, add: jnp.ndarray | None = None,
                  film_scale: jnp.ndarray | None = None,
                  film_shift: jnp.ndarray | None = None) -> jnp.ndarray:
+        import os
+
         from stedm_tpu.ops.gn_silu import gn_silu
+
+        if os.environ.get("STEDM_GN_FLAX"):
+            # A/B reference: the original nn.GroupNorm composite (identical
+            # params/semantics; add in compute dtype, stats fp32)
+            if add is not None:
+                x = x + add[:, None, None, :].astype(x.dtype)
+            y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                             dtype=jnp.float32, name="norm")(
+                x.astype(jnp.float32))
+            if film_scale is not None:
+                y = y * (1 + film_scale[:, None, None, :]) \
+                    + film_shift[:, None, None, :]
+            if self.apply_silu:
+                y = jax.nn.silu(y)
+            return y.astype(self.dtype)
 
         scale, bias = _NormParams(x.shape[-1], name="norm")()
         y = gn_silu(x, scale, bias, add=add, film_scale=film_scale,

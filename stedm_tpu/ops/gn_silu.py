@@ -188,7 +188,14 @@ def gn_silu_reference(x, gamma, beta, add=None, film_scale=None,
 def _use_kernel(x, groups: int) -> bool:
     import os
 
-    if os.environ.get("STEDM_NO_FUSED_GN"):  # A/B kill-switch (bench/profiling)
+    # MEASURED NEGATIVE RESULT (v5e, 2026-08-17, bench.py A/B): the one-pass
+    # kernel LOSES to XLA's two-pass lowering end-to-end — exact sampling
+    # 7.62 vs 7.94 img/s, serving mode 16.8 vs 18.0 img/s — because XLA fuses
+    # the norm's second pass into the consumer conv's input pipeline, which a
+    # custom call blocks. Default off; STEDM_FUSED_GN=1 re-enables for
+    # benchmarking. (Same lesson as the int8-conv probe: don't interpose
+    # custom kernels where XLA's fusion already rides the conv.)
+    if not os.environ.get("STEDM_FUSED_GN"):
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -200,11 +207,8 @@ def _use_kernel(x, groups: int) -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _gn_silu(x, gamma, beta, add, film_scale, film_shift,
              groups: int, eps: float, apply_silu: bool):
-    if _use_kernel(x, groups):
-        return _gn_silu_pallas(x, gamma, beta, add, film_scale, film_shift,
-                               groups=groups, eps=eps, apply_silu=apply_silu)
-    return gn_silu_reference(x, gamma, beta, add, film_scale, film_shift,
-                             groups=groups, eps=eps, apply_silu=apply_silu)
+    return _gn_silu_pallas(x, gamma, beta, add, film_scale, film_shift,
+                           groups=groups, eps=eps, apply_silu=apply_silu)
 
 
 def _gn_silu_fwd(x, gamma, beta, add, film_scale, film_shift,
@@ -278,8 +282,16 @@ def gn_silu(x, gamma, beta, add=None, film_scale=None, film_shift=None, *,
     x: [B,H,W,C]; gamma/beta: [C]; add / film_scale / film_shift: [B,C]
     (``add`` is applied before the statistics, FiLM after the affine).
     Returns x.dtype; statistics in float32.
+
+    Dispatch happens OUTSIDE the custom_vjp: when the Pallas kernel is not in
+    play, the jnp formulation runs under plain autodiff so XLA derives (and
+    fuses) the backward itself — the hand-written VJP exists only to make the
+    kernel's forward differentiable.
     """
     assert (film_scale is None) == (film_shift is None)
     assert add is None or film_scale is None, "add and FiLM are exclusive"
-    return _gn_silu(x, gamma, beta, add, film_scale, film_shift,
-                    groups, eps, apply_silu)
+    if _use_kernel(x, groups):
+        return _gn_silu(x, gamma, beta, add, film_scale, film_shift,
+                        groups, eps, apply_silu)
+    return gn_silu_reference(x, gamma, beta, add, film_scale, film_shift,
+                             groups=groups, eps=eps, apply_silu=apply_silu)

@@ -96,21 +96,36 @@ def shape_init_params(model) -> dict:
 
 
 def timed_scan(step_fn, carry0, n_iters: int, label: str) -> float:
-    """Per-call seconds for step_fn, measured as one K-iteration scanned program
-    with a carried dependency and a scalar host readback."""
+    """Per-call seconds for step_fn, measured as a host-pipelined loop of one
+    jitted step with a carried dependency and a final scalar host readback.
 
-    @jax.jit
+    (A scanned K-iteration program would be the tighter measurement, but this
+    sandbox's tunnel cannot compile XLA loops around the U-Net — see
+    stedm_tpu/train/host_sampler.py. Host pipelining measures within ~5-10% of
+    the in-scan rate.)"""
+    step = jax.jit(step_fn, donate_argnums=(0,))
+
     def run(carry):
-        def body(c, i):
-            return step_fn(c, i), ()
-        out, _ = jax.lax.scan(body, carry, jnp.arange(n_iters))
-        return jnp.mean(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32))
+        carry = carry + 0  # fresh buffer: the step donates its carry argument
+        for i in range(n_iters):
+            carry = step(carry, jnp.int32(i))
+        return float(jnp.mean(
+            jax.tree_util.tree_leaves(carry)[0].astype(jnp.float32)))
 
     t0 = time.perf_counter()
-    float(run(carry0))  # compile + warmup
+    for attempt in range(4):  # the tunnel drops very long compile requests
+        try:
+            run(carry0)  # compile + warmup
+            break
+        except jax.errors.JaxRuntimeError as e:
+            if attempt == 3 or "remote_compile" not in str(e):
+                raise
+            print(f"  [{label}] remote compile dropped (attempt {attempt + 1}),"
+                  " retrying", file=sys.stderr)
+            time.sleep(20)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(carry0))
+    run(carry0)
     dt = time.perf_counter() - t0
     print(f"  [{label}] compile+warm {compile_s:.1f}s, steady {dt:.3f}s "
           f"/ {n_iters} iters = {1e3 * dt / n_iters:.3f} ms/call", file=sys.stderr)
