@@ -95,6 +95,9 @@ def shape_init_params(model) -> dict:
     return make(rng)
 
 
+VAR = None  # set by main(): the param tree passed to every timed step
+
+
 def timed_scan(step_fn, carry0, n_iters: int, label: str) -> float:
     """Per-call seconds for step_fn, measured as a host-pipelined loop of one
     jitted step with a carried dependency and a final scalar host readback.
@@ -103,12 +106,14 @@ def timed_scan(step_fn, carry0, n_iters: int, label: str) -> float:
     sandbox's tunnel cannot compile XLA loops around the U-Net — see
     stedm_tpu/train/host_sampler.py. Host pipelining measures within ~5-10% of
     the in-scan rate.)"""
-    step = jax.jit(step_fn, donate_argnums=(0,))
+    # params must be a jit ARGUMENT: a closed-over 1.3GB tree inlines into the
+    # serialized module as constants and the tunnel drops the giant upload
+    step = jax.jit(step_fn, donate_argnums=(1,))
 
     def run(carry):
         carry = carry + 0  # fresh buffer: the step donates its carry argument
         for i in range(n_iters):
-            carry = step(carry, jnp.int32(i))
+            carry = step(VAR, carry, jnp.int32(i))
         return float(jnp.mean(
             jax.tree_util.tree_leaves(carry)[0].astype(jnp.float32)))
 
@@ -158,9 +163,11 @@ def main() -> None:
     if args.no_fused:
         disable_fused_gn()
 
+    global VAR
     model = build_model()
     params = shape_init_params(model)
     var = {"params": params}
+    VAR = var
     print(f"backend: {jax.devices()[0].platform} ({jax.devices()[0]})",
           file=sys.stderr)
 
@@ -178,8 +185,8 @@ def main() -> None:
     pieces = args.pieces.split(",")
 
     if "eps_exact" in pieces:
-        def eps_step(x, i):
-            e = model.apply(var, x, t[:b] + i, seg_cond, ctx2, method=model.eps)
+        def eps_step(v, x, i):
+            e = model.apply(v, x, t[:b] + i, seg_cond, ctx2, method=model.eps)
             return x + 1e-4 * (e[:b] + e[b:])
         sec = timed_scan(eps_step, z0, args.iters, "eps_exact")
         fl = flops_of(lambda v, x: model.apply(v, x, t[:b], seg_cond, ctx2,
@@ -187,8 +194,8 @@ def main() -> None:
         results["eps_exact"] = (sec, fl)
 
     if "eps_full" in pieces:
-        def full_step(x, i):
-            e, cache = model.apply(var, x, t[:b] + i, seg_cond, ctx2, 1,
+        def full_step(v, x, i):
+            e, cache = model.apply(v, x, t[:b] + i, seg_cond, ctx2, 1,
                                    method=model.eps_full)
             return x + 1e-4 * (e[:b] + e[b:] + 1e-3 * jnp.mean(cache))
         sec = timed_scan(full_step, z0, args.iters, "eps_full")
@@ -200,8 +207,8 @@ def main() -> None:
         _, cache = jax.jit(functools.partial(
             model.apply, method=model.eps_full))(var, z0, t[:b], seg_cond, ctx2, 1)
 
-        def cached_step(x, i):
-            e = model.apply(var, x, t[:b] + i, seg_cond, cache, 1,
+        def cached_step(v, x, i):
+            e = model.apply(v, x, t[:b] + i, seg_cond, cache, 1,
                             method=model.eps_cached)
             return x + 1e-4 * (e[:b] + e[b:])
         sec = timed_scan(cached_step, z0, args.iters, "eps_cached")
@@ -210,8 +217,8 @@ def main() -> None:
         results["eps_cached"] = (sec, fl)
 
     if "decode" in pieces:
-        def dec_step(z, i):
-            img = model.apply(var, z, method=model.decode_first_stage)
+        def dec_step(v, z, i):
+            img = model.apply(v, z, method=model.decode_first_stage)
             return z + 1e-4 * img[:, ::4, ::4, :]
         sec = timed_scan(dec_step, z0, max(args.iters // 2, 10), "decode")
         fl = flops_of(lambda v, z: model.apply(v, z, method=model.decode_first_stage),
