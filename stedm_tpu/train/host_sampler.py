@@ -41,8 +41,8 @@ from stedm_tpu.train.steps import SamplerConfig
 
 
 def host_loop_default() -> bool:
-    """True when running through the axon remote tunnel (where XLA-loop
-    programs fail to compile, see module docstring)."""
+    """True when running through the axon remote tunnel (where the block drive
+    is slightly faster and far cheaper to compile, see module docstring)."""
     try:
         plats = jax.config.jax_platforms or ""
     except AttributeError:  # pragma: no cover - very old jax

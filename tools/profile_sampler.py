@@ -204,8 +204,8 @@ def main() -> None:
         results["eps_full"] = (sec, fl)
 
     if "eps_cached" in pieces:
-        _, cache = jax.jit(functools.partial(
-            model.apply, method=model.eps_full))(var, z0, t[:b], seg_cond, ctx2, 1)
+        _, cache = jax.jit(lambda v, x: model.apply(
+            v, x, t[:b], seg_cond, ctx2, 1, method=model.eps_full))(var, z0)
 
         def cached_step(v, x, i):
             e = model.apply(v, x, t[:b] + i, seg_cond, cache, 1,
