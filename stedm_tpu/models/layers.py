@@ -79,7 +79,8 @@ class GNSiLU(nn.Module):
 
         from stedm_tpu.ops.gn_silu import gn_silu
 
-        if os.environ.get("STEDM_GN_FLAX"):
+        if os.environ.get("STEDM_GN_FLAX", "") not in ("", "0", "false",
+                                                       "False"):
             # A/B reference: the original nn.GroupNorm composite (identical
             # params/semantics; add in compute dtype, stats fp32)
             if add is not None:

@@ -163,10 +163,11 @@ def _gn_silu_pallas(x, gamma, beta, add, film_scale, film_shift, *,
     return out.reshape(b, h, w, c)
 
 
-def gn_silu_reference(x, gamma, beta, add=None, film_scale=None,
-                      film_shift=None, *, groups: int = 32, eps: float = 1e-5,
-                      apply_silu: bool = True):
-    """jnp formulation (flax GroupNorm numerics); ground truth + fallback."""
+def _forward_parts(x, gamma, beta, add, film_scale, film_shift,
+                   groups: int, eps: float):
+    """Shared forward pipeline (flax GroupNorm numerics, fp32): returns the
+    intermediates both `gn_silu_reference` and the custom-VJP backward need,
+    so the two can never drift."""
     b, h, w, c = x.shape
     xf = x.astype(jnp.float32)
     if add is not None:
@@ -174,14 +175,24 @@ def gn_silu_reference(x, gamma, beta, add=None, film_scale=None,
     xg = xf.reshape(b, h * w, groups, c // groups)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
     var = jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mean * mean
-    yg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    y = yg.reshape(b, h, w, c) * gamma.astype(jnp.float32) \
-        + beta.astype(jnp.float32)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = ((xg - mean) * rstd).reshape(b, h, w, c)
+    z = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
     if film_scale is not None:
-        y = y * (1.0 + film_scale.astype(jnp.float32)[:, None, None, :]) \
+        wv = z * (1.0 + film_scale.astype(jnp.float32)[:, None, None, :]) \
             + film_shift.astype(jnp.float32)[:, None, None, :]
-    if apply_silu:
-        y = jax.nn.silu(y)
+    else:
+        wv = z
+    return xhat, rstd, z, wv
+
+
+def gn_silu_reference(x, gamma, beta, add=None, film_scale=None,
+                      film_shift=None, *, groups: int = 32, eps: float = 1e-5,
+                      apply_silu: bool = True):
+    """jnp formulation (flax GroupNorm numerics); ground truth + fallback."""
+    _, _, _, wv = _forward_parts(x, gamma, beta, add, film_scale, film_shift,
+                                 groups, eps)
+    y = jax.nn.silu(wv) if apply_silu else wv
     return y.astype(x.dtype)
 
 
@@ -195,13 +206,15 @@ def _use_kernel(x, groups: int) -> bool:
     # custom call blocks. Default off; STEDM_FUSED_GN=1 re-enables for
     # benchmarking. (Same lesson as the int8-conv probe: don't interpose
     # custom kernels where XLA's fusion already rides the conv.)
-    if not os.environ.get("STEDM_FUSED_GN"):
+    if os.environ.get("STEDM_FUSED_GN", "") in ("", "0", "false", "False"):
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     b, h, w, c = x.shape
+    # the VMEM cap is calibrated in bf16 elements; scale down for wider dtypes
+    max_elems = MAX_ELEMS_PER_SAMPLE // max(1, x.dtype.itemsize // 2)
     return (c % groups == 0 and c % 128 == 0 and (h * w) % 8 == 0
-            and h * w * c <= MAX_ELEMS_PER_SAMPLE)
+            and h * w * c <= max_elems)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -222,25 +235,13 @@ def _gn_silu_bwd(groups, eps, apply_silu, res, g):
     x, gamma, beta, add, film_scale, film_shift = res
     b, h, w, c = x.shape
     cg = c // groups
-    n = h * w * cg
 
-    xf = x.astype(jnp.float32)
-    if add is not None:
-        xf = xf + add.astype(jnp.float32)[:, None, None, :]
-    xg = xf.reshape(b, h * w, groups, cg)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(xg * xg, axis=(1, 3), keepdims=True) - mean * mean
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = ((xg - mean) * rstd).reshape(b, h, w, c)
-
+    # recompute through the SAME pipeline as the reference forward
+    xhat, rstd, z, wv = _forward_parts(x, gamma, beta, add, film_scale,
+                                       film_shift, groups, eps)
     gammaf = gamma.astype(jnp.float32)
-    z = xhat * gammaf + beta.astype(jnp.float32)
     if film_scale is not None:
         fs = film_scale.astype(jnp.float32)[:, None, None, :]
-        fsh = film_shift.astype(jnp.float32)[:, None, None, :]
-        wv = z * (1.0 + fs) + fsh
-    else:
-        wv = z
 
     gf = g.astype(jnp.float32)
     if apply_silu:

@@ -82,6 +82,10 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     """
     if cfg.method not in ("ddim", "plms", "dpm"):
         raise NotImplementedError(f"unknown sampler method {cfg.method!r}")
+    if cfg.method != "ddim" and cfg.cache_interval > 1:
+        # mirror make_sample_fn's check (train/steps.py) — silently sampling
+        # uncached would misreport serving-mode throughput
+        raise ValueError("cache_interval > 1 is only supported for DDIM")
 
     ddim = DDIMParams.create(schedule, cfg.ddim_steps, cfg.eta)
     use_cfg = cfg.use_cfg and cfg.cfg_scale != 1.0
@@ -100,7 +104,11 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     consts = [np.asarray(a)[order] for a in
               (ddim.timesteps, ddim.alphas, ddim.alphas_prev, ddim.sigmas,
                ddim.sqrt_one_minus_alphas)]
-    stochastic = cfg.eta != 0.0
+    # parity with the scanned twin: make_sample_fn never threads an rng into
+    # ddim_sample, so even eta > 0 omits the sigma_t*noise term (sigma still
+    # shapes dir_xt inside ddim_step). The key plumbing below stays for a
+    # future stochastic mode; if enabled, split rng for x_T vs step keys.
+    stochastic = False
 
     @jax.jit
     def prep(var, batch):
@@ -188,22 +196,19 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
     # ---- block partition -------------------------------------------------
     # dispatch k consecutive steps as ONE jitted program with the body
-    # unrolled inline (no XLA loop construct, so the tunnel's compile service
-    # handles it) — k-fold fewer host dispatches. In cached serving mode the
-    # natural block is [full refresh + (interval-1) cached steps], so the deep
-    # -feature cache never leaves the program. Exact mode prefers an unroll
-    # factor dividing the step count to avoid compiling a tail-size program.
+    # unrolled inline — k-fold fewer host dispatches, and XLA fuses across the
+    # steps of a block. In cached serving mode the natural block is [full
+    # refresh + (interval-1) cached steps], so the deep-feature cache never
+    # leaves the program. Exact mode prefers an unroll factor dividing the
+    # step count to avoid compiling a tail-size program.
     steps = ddim.num_steps
     if interval > 1:
         # cached mode blocks by whole refresh periods; unroll m periods/block
         m = max(1, int(unroll) // interval) if unroll else 1
         block_k = interval * m
-    elif unroll:
-        block_k = int(unroll)
     else:
-        block_k = next((k for k in (5, 4, 3, 2) if steps % k == 0),
-                       min(5, steps))
-    sizes = [min(block_k, steps - s) for s in range(0, steps, block_k)]
+        block_k = _default_unroll(steps)
+    sizes = _partition(steps, block_k)
 
     def _make_block(k: int):
         def fn(var, x, seg_cond, ctx, tb, ab, apb, sgb, sqb, keys):
