@@ -41,7 +41,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BATCH = int(os.environ.get("STEDM_BENCH_BATCH", 8))
 PATCH = 256
 STEPS = 50
-CACHE_INTERVAL = 3   # serving mode: refresh the deep trunk every 3rd step
+# serving mode: refresh the deep trunk every Nth step. Default 3 — priced in
+# relative FID on a trained model (BASELINE.md round-3 serving-quality table);
+# sweepable via env for on-chip A/Bs (STEDM_BENCH_INTERVAL / _LEVELS).
+CACHE_INTERVAL = int(os.environ.get("STEDM_BENCH_INTERVAL", 3))
+CACHE_LEVELS = int(os.environ.get("STEDM_BENCH_LEVELS", 1))
 # host-sampler steps per dispatched block. Swept on-chip (2026-08-17):
 # unroll 10 / batch 8 won — exact 7.97 img/s, serving 18.05 (unroll 5:
 # 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
@@ -111,13 +115,15 @@ def main() -> None:
         sample_exact = make_host_sample_fn(model, schedule, SamplerConfig(**base),
                                            unroll=UNROLL)
         sample = make_host_sample_fn(
-            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base),
+            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL,
+                                           cache_levels=CACHE_LEVELS, **base),
             unroll=UNROLL)
     else:
         sample_exact = jax.jit(make_sample_fn(model, schedule,
                                               SamplerConfig(**base)))
         sample = jax.jit(make_sample_fn(
-            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL, **base)))
+            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL,
+                                           cache_levels=CACHE_LEVELS, **base)))
 
     mean = jax.jit(lambda x: x.mean())
 
@@ -180,11 +186,19 @@ def main() -> None:
         baseline = A100_BF16_FLOPS * A100_MFU / (0.17e12 * 2 * STEPS + 0.4e12)
     vs_baseline = imgs_per_sec / baseline
 
+    # machine-readable-honest record (VERDICT r2 weak #3): the headline `value`
+    # is the serving mode, so the JSON itself carries the mode label AND the
+    # exact-reference-trajectory numbers — stderr is not the durable record
     print(json.dumps({
         "metric": "256x256 DDIM-50 CFG sampling throughput",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "mode": (f"deepcache_interval_{CACHE_INTERVAL}_levels_{CACHE_LEVELS}"
+                 if CACHE_INTERVAL > 1 else "exact"),
+        "exact_value": round(exact_ips, 4),
+        "exact_vs_baseline": round(exact_ips / baseline, 4),
+        "cached_vs_exact_psnr_db": round(psnr, 2),
     }))
 
 

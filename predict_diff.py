@@ -155,11 +155,22 @@ def main(argv: list[str]) -> None:
     from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
 
     use_host = cfg.get("host_loop", None)
+    if use_host:
+        # the host sampler is single-device/single-process; an explicit
+        # +host_loop=true on a sharded mesh would silently run unsharded on one
+        # device — fail fast instead (ADVICE r2). Canvases (grid > 1) ARE
+        # host-drivable for exact DDIM (tiled eps/decode inside the blocks).
+        if n_devices > 1 or jax.process_count() > 1:
+            raise SystemExit(
+                "+host_loop=true requires a single device and a single process "
+                f"(got devices={n_devices}, processes={jax.process_count()}); "
+                "drop host_loop to use the sharded scanned sampler")
     if use_host is None:
         use_host = (host_loop_default()
                     and sampler_cfg.method in ("ddim", "plms", "dpm")
-                    and grid == 1 and n_devices == 1
-                    and jax.process_count() == 1)
+                    and n_devices == 1 and jax.process_count() == 1
+                    and (grid == 1 or (sampler_cfg.method == "ddim"
+                                       and sampler_cfg.cache_interval == 1)))
     if use_host:
         sample = make_host_sample_fn(model, schedule, sampler_cfg)
     else:

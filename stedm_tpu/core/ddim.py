@@ -180,13 +180,19 @@ def ddim_sample_cached(eps_full_fn: Callable, eps_cached_fn: Callable,
     order = np.concatenate([np.arange(steps - 1, -1, -1), np.zeros(pad, np.int64)])
     valid = jnp.asarray(np.concatenate([np.ones(steps), np.zeros(pad)]), jnp.float32)
     blk = lambda a: a[order].reshape((n_blocks, interval) + a.shape[1:])
+    # step keys are consumed in SCAN order (key 0 = highest-noise step), exactly
+    # like `ddim_sample`, so interval-1 stays bit-identical even when stochastic;
+    # padded entries reuse the last key but are masked out below
+    keys_seq = jnp.concatenate(
+        [step_keys, jnp.tile(step_keys[-1:], (pad, 1))]
+    ).reshape((n_blocks, interval) + step_keys.shape[1:])
     xs = (
         blk(params.timesteps),
         blk(params.alphas),
         blk(params.alphas_prev),
         blk(params.sigmas),
         blk(params.sqrt_one_minus_alphas),
-        blk(step_keys),  # padded entries reuse key 0 but are masked out below
+        keys_seq,
         valid.reshape(n_blocks, interval),
     )
 

@@ -213,7 +213,12 @@ def _use_kernel(x, groups: int) -> bool:
     b, h, w, c = x.shape
     # the VMEM cap is calibrated in bf16 elements; scale down for wider dtypes
     max_elems = MAX_ELEMS_PER_SAMPLE // max(1, x.dtype.itemsize // 2)
-    return (c % groups == 0 and c % 128 == 0 and (h * w) % 8 == 0
+    # sublane tile: (16, 128) for 2-byte dtypes, (8, 128) for fp32. Requiring
+    # h*w to be a tile multiple keeps every _row_chunks boundary aligned
+    # (chunk rows are multiples of 16), incl. the ragged tail — interpret-mode
+    # tests can't catch Mosaic lowering violations, so gate here (ADVICE r2).
+    sublane = 16 if x.dtype.itemsize == 2 else 8
+    return (c % groups == 0 and c % 128 == 0 and (h * w) % sublane == 0
             and h * w * c <= max_elems)
 
 

@@ -27,11 +27,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_initialize_distributed() -> None:
-    """Initialize multi-host JAX when a cluster environment is present."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    """Initialize multi-host JAX when a cluster environment is present.
+
+    ORDERING MATTERS: `jax.distributed.initialize()` must run before *any*
+    backend-touching call (`jax.devices()`, `jax.process_count()`, any jit), so
+    the env-var gate comes first and nothing else here touches jax until after
+    init. (Round-2 bug: consulting ``jax.process_count()`` first initialized the
+    XLA backend and every multi-host launch then died with "must be called before
+    any JAX calls"; regression-covered by tests/test_distributed.py.)
+
+    Cluster contract (the DDP-init counterpart of reference train_diff.py:72-76):
+    ``JAX_COORDINATOR_ADDRESS`` gates init; JAX reads the address itself, and on
+    environments without cluster auto-detection (SLURM / Cloud TPU metadata)
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` supply the remaining topology.
+    """
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+        return
+    if jax.distributed.is_initialized():
+        return
+    kwargs: dict = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ.get("JAX_PROCESS_ID", 0))
+    jax.distributed.initialize(**kwargs)
 
 
 def build_mesh(spec: dict[str, int] | None = None) -> Mesh:

@@ -158,15 +158,11 @@ class SamplerConfig:
                                     # patch) for canvases larger than the patch
 
 
-def _sample_tiled(model: STEDM, cfg: SamplerConfig, ddim: DDIMParams, var: dict,
-                  seg_cond: jnp.ndarray, style_c: jnp.ndarray, batch: dict,
-                  x_T: jnp.ndarray, use_cfg: bool, b: int) -> jnp.ndarray:
-    """Canvas sampling: every eps evaluation runs over overlapping latent tiles
-    stitched with the weight window, then a tiled VQ decode (the reference's
-    fold/unfold role, ddpm.py:905-987). CFG packs the cond/uncond pair into the
-    tile's channel axis so both branches stitch in one pass."""
-    from stedm_tpu.ops.tiled import tiled_apply
-
+def check_tiled_supported(model: STEDM, cfg: SamplerConfig, use_cfg: bool) -> None:
+    """Constraint checks shared by the scanned and host-driven canvas paths."""
+    if cfg.method != "ddim":
+        raise NotImplementedError("tiled canvases support DDIM only "
+                                  f"(got method={cfg.method!r})")
     if cfg.cache_interval > 1:
         raise ValueError("deep-feature caching is not supported on the tiled "
                          "canvas path")
@@ -176,23 +172,29 @@ def _sample_tiled(model: STEDM, cfg: SamplerConfig, ddim: DDIMParams, var: dict,
         raise ValueError("tiled canvases with CFG require batched_cfg and "
                          "bottleneck-only conditioning (shared-encoder fan-out)")
 
+
+def make_tiled_eps(model: STEDM, cfg: SamplerConfig, var: dict,
+                   seg_cond: jnp.ndarray, ctx: jnp.ndarray, use_cfg: bool,
+                   b: int):
+    """Canvas eps evaluator: every evaluation runs over overlapping latent tiles
+    stitched with the weight window (the reference's fold/unfold role,
+    ddpm.py:905-987). Under CFG ``ctx`` is the [2b] concat of cond/uncond style
+    vectors (shared-encoder fan-out) and the pair is packed into the tile's
+    channel axis so both branches stitch in one pass."""
+    from stedm_tpu.ops.tiled import tiled_apply
+
     lat_patch = model.patch_size // cfg.downsample
     stride = max(1, int(lat_patch * cfg.tile_stride_frac))
     c_lat = cfg.latent_channels
-    c_cond = seg_cond.shape[-1]
 
     if use_cfg:
-        style_u = model.apply(var, jnp.zeros_like(batch["style_imgs"]) - 2.0,
-                              method=model.style_encode)
-        ctx2 = jnp.concatenate([style_c, style_u])
-
         def eps_fn(x, t):
             canvas = jnp.concatenate([x, seg_cond.astype(x.dtype)], axis=-1)
 
             def tile_fn(tile):
-                # shared-encoder fan-out: ctx2 at 2B, tile at B -> eps at 2B
+                # shared-encoder fan-out: ctx at 2B, tile at B -> eps at 2B
                 e = model.apply(var, tile[..., :c_lat], t, tile[..., c_lat:],
-                                ctx2, method=model.eps)
+                                ctx, method=model.eps)
                 return jnp.concatenate([e[:b], e[b:]], axis=-1)
 
             out = tiled_apply(tile_fn, canvas, lat_patch, stride,
@@ -204,18 +206,44 @@ def _sample_tiled(model: STEDM, cfg: SamplerConfig, ddim: DDIMParams, var: dict,
 
             def tile_fn(tile):
                 return model.apply(var, tile[..., :c_lat], t, tile[..., c_lat:],
-                                   style_c, method=model.eps)
+                                   ctx, method=model.eps)
 
             return tiled_apply(tile_fn, canvas, lat_patch, stride,
                                out_channels=c_lat)
 
+    return eps_fn
+
+
+def tiled_decode(model: STEDM, cfg: SamplerConfig, var: dict,
+                 z: jnp.ndarray) -> jnp.ndarray:
+    """Tiled VQ decode of an oversized latent canvas (reference ddpm.py:718-766)."""
+    from stedm_tpu.ops.tiled import tiled_apply
+
+    lat_patch = model.patch_size // cfg.downsample
+    stride = max(1, int(lat_patch * cfg.tile_stride_frac))
+    return tiled_apply(
+        lambda zz: model.apply(var, zz, method=model.decode_first_stage),
+        z, lat_patch, stride, out_channels=3, scale=cfg.downsample)
+
+
+def _sample_tiled(model: STEDM, cfg: SamplerConfig, ddim: DDIMParams, var: dict,
+                  seg_cond: jnp.ndarray, style_c: jnp.ndarray, batch: dict,
+                  x_T: jnp.ndarray, use_cfg: bool, b: int,
+                  rng_steps: jax.Array | None = None) -> jnp.ndarray:
+    """Canvas sampling (scanned trajectory): tiled eps + tiled decode."""
+    check_tiled_supported(model, cfg, use_cfg)
+    if use_cfg:
+        style_u = model.apply(var, jnp.zeros_like(batch["style_imgs"]) - 2.0,
+                              method=model.style_encode)
+        ctx = jnp.concatenate([style_c, style_u])
+    else:
+        ctx = style_c
+    eps_fn = make_tiled_eps(model, cfg, var, seg_cond, ctx, use_cfg, b)
+
     scale = cfg.cfg_scale if use_cfg else 1.0
     z_0 = ddim_sample(eps_fn, x_T, ddim, cfg_scale=scale,
-                      rescale_phi=cfg.rescale_phi)
-    img = tiled_apply(
-        lambda z: model.apply(var, z, method=model.decode_first_stage),
-        z_0, lat_patch, stride, out_channels=3, scale=cfg.downsample)
-    return jnp.clip(img, -1.0, 1.0)
+                      rescale_phi=cfg.rescale_phi, rng=rng_steps)
+    return jnp.clip(tiled_decode(model, cfg, var, z_0), -1.0, 1.0)
 
 
 def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
@@ -233,6 +261,14 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     """
     ddim = DDIMParams.create(schedule, cfg.ddim_steps, cfg.eta)
     use_cfg = cfg.use_cfg and cfg.cfg_scale != 1.0
+    # eta > 0 adds sigma_t * noise every step (reference ddim.py:202-207); the
+    # per-step keys are only drawn when needed so the shipped eta=0 config keeps
+    # its exact key sequence. Only DDIM is stochastic — the reference's PLMS
+    # asserts ddim_eta == 0 (reference plms.py:30) and DPM-Solver ignores eta.
+    stochastic = cfg.eta > 0
+    if stochastic and cfg.method != "ddim":
+        raise ValueError(f"eta={cfg.eta} requires method='ddim' (the reference's "
+                         f"PLMS asserts ddim_eta == 0 and DPM-Solver ignores eta)")
 
     def sample(params, batch: dict, rng: jax.Array) -> jnp.ndarray:
         # the logvar buffer (when trained) is a loss-only param group
@@ -242,13 +278,16 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         seg_cond = model.apply(var, seg, method=model.cond_encode)
         style_c = model.apply(var, batch["style_imgs"], method=model.style_encode)
 
+        rng_steps = None
+        if stochastic:
+            rng, rng_steps = jax.random.split(rng)
         latent = (b, p // cfg.downsample, p // cfg.downsample, cfg.latent_channels)
         x_T = jax.random.normal(rng, latent, dtype=jnp.float32)
 
         tiled = p > model.patch_size
         if tiled:
             return _sample_tiled(model, cfg, ddim, var, seg_cond, style_c, batch,
-                                 x_T, use_cfg, b)
+                                 x_T, use_cfg, b, rng_steps)
 
         if not use_cfg:
             def eps_fn(x, t):
@@ -315,7 +354,8 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
             z_0 = ddim_sample_cached(eps_full_fn, eps_cached_fn, x_T, ddim,
                                      cache_interval=cfg.cache_interval,
-                                     cfg_scale=scale, rescale_phi=cfg.rescale_phi)
+                                     cfg_scale=scale, rescale_phi=cfg.rescale_phi,
+                                     rng=rng_steps)
         elif cfg.method == "plms":
             from stedm_tpu.core.plms import plms_sample
 
@@ -328,7 +368,7 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                                        cfg_scale=scale, rescale_phi=cfg.rescale_phi)
         else:
             z_0 = ddim_sample(eps_fn, x_T, ddim, cfg_scale=scale,
-                              rescale_phi=cfg.rescale_phi)
+                              rescale_phi=cfg.rescale_phi, rng=rng_steps)
         img = model.apply(var, z_0, method=model.decode_first_stage)
         return jnp.clip(img, -1.0, 1.0)
 

@@ -13,6 +13,25 @@ use a seeded random-projection featurizer — *self-consistent* across runs of t
 tool (fixed seed), useful for relative comparisons between checkpoints, not
 comparable to published FIDs.
 
+Weights contract (for a weights-staged environment — VERDICT r2 task 8):
+the standard-comparable number expects pytorch-fid's re-trained FID InceptionV3,
+
+    pt_inception-2015-12-05-6726825d.pth
+    https://github.com/mseitzer/pytorch-fid/releases/download/fid_weights/pt_inception-2015-12-05-6726825d.pth
+
+(the ``6726825d`` filename suffix is the first 8 hex chars of the file's sha256,
+torch.hub's integrity convention — `torch.hub.load_state_dict_from_url` verifies
+it on download, or check manually: ``sha256sum <file> | cut -c1-8`` must equal
+``6726825d``). torchvision's ``inception_v3_google-0cc3c7bd.pth`` also imports
+(same layout; BN-folded by `map_inception`) but yields *torchvision*-FID numbers,
+which differ slightly from pytorch-fid's. Invocation:
+
+    python tools/fid.py /path/real_dir /path/fake_dir \
+        --features /weights/pt_inception-2015-12-05-6726825d.pth
+
+Import-path validation: `tests/test_inception_fid.py` (forward parity vs a
+hand-built torch twin of the pool3 graph).
+
 Usage:
     python tools/fid.py /path/real_dir /path/fake_dir [--batch 32] [--limit N]
 """
