@@ -33,10 +33,89 @@ from stedm_tpu.parallel.mesh import (  # noqa: E402
 )
 
 
+def predict_mode() -> None:
+    """Sharded-generation contract (the reference's DDP predict sampler,
+    reference predict_diff.py:84-89): a tiny STEDM sampler jitted over the
+    2-process mesh with the batch sharded on `data`; every process reports its
+    `local_rows` plus summary stats of the replicated-global output so the test
+    can check cross-process agreement and coverage."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stedm_tpu.core.schedules import DiffusionSchedule
+    from stedm_tpu.models.stedm import STEDM
+    from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
+
+    pi, pc = jax.process_index(), jax.process_count()
+    patch = 32
+    model = STEDM(
+        unet_config=dict(in_channels=6, out_channels=3, model_channels=32,
+                         num_res_blocks=1, channel_mult=(1, 2), num_heads=4,
+                         attention_resolutions=(32, 16, 8)),
+        first_stage_config=dict(embed_dim=3, n_embed=64, ddconfig=dict(
+            double_z=False, z_channels=3, resolution=patch, in_channels=3,
+            out_ch=3, ch=32, ch_mult=[1, 2, 4], num_res_blocks=1,
+            attn_resolutions=[], dropout=0.0)),
+        cond_stage_config=dict(n_stages=2, in_channels=2, out_channels=3),
+        style_agg="mean", style_sampling="nearby", patch_size=patch,
+    )
+    mesh = build_mesh({"data": -1})
+    n_dev = mesh.devices.size
+    b_global = max(4, n_dev)  # same global batch for 1-proc and 2-proc runs
+    b_local = b_global // pc
+
+    rng_np = np.random.default_rng(7)
+    local = {
+        "segmentation": np.zeros((b_local, patch, patch, 2),
+                                 np.float32),
+        "style_imgs": rng_np.uniform(
+            -1, 1, (b_global, 1, patch, patch, 3)).astype(np.float32)[
+            pi * b_local:(pi + 1) * b_local],
+    }
+    local["segmentation"][..., 0] = 1.0
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, patch, patch, 3)),
+                        jnp.zeros((1, patch, patch, 2)),
+                        jnp.zeros((1, 1, patch, patch, 3)),
+                        jnp.zeros((1,), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params)
+
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    params = jax.device_put(params, rep)
+    batch = shard_batch(mesh, local)
+
+    schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
+    # ddim_steps=3 hits the reference's ragged-stride OOB quirk (kept faithfully
+    # in schedules.py); 4 divides T=1000 cleanly.
+    cfg = SamplerConfig(ddim_steps=4, eta=0.0, cfg_scale=1.5, rescale_phi=0.7,
+                        batched_cfg=True, downsample=4)
+    sample = jax.jit(make_sample_fn(model, schedule, cfg),
+                     in_shardings=(rep, dp, None), out_shardings=dp)
+    imgs = sample(params, batch, jax.random.PRNGKey(3))
+    rows = local_rows(imgs)
+    print(json.dumps({
+        "process_index": pi,
+        "process_count": pc,
+        "global_shape": list(imgs.shape),
+        "local_rows_shape": list(rows.shape),
+        "local_rows_mean": float(np.mean(rows)),
+        "local_rows_std": float(np.std(rows)),
+        "finite": bool(np.all(np.isfinite(rows))),
+        # row fingerprints let the test stitch + compare across topologies
+        "row_means": np.mean(np.asarray(rows), axis=(1, 2, 3)).tolist(),
+    }), flush=True)
+
+
 def main() -> None:
     # MUST be the first jax call (the round-2 bug was a backend-touching call
     # before initialize; this worker would crash here if it regressed)
     maybe_initialize_distributed()
+
+    if os.environ.get("STEDM_DIST_MODE") == "predict":
+        return predict_mode()
 
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
