@@ -1,0 +1,14 @@
+#!/bin/sh
+# On-chip serving-knob sweep (VERDICT r2 task 5): cache_interval x cache_levels
+# through bench.py, one config at a time (this host has one CPU core — never
+# overlap TPU benches). Results land in /tmp/bench_i{I}_l{L}.json.
+set -e
+for cfg in "3 1" "2 1" "3 2" "2 2"; do
+  set -- $cfg
+  I=$1; L=$2
+  echo "=== interval $I levels $L ===" >&2
+  STEDM_BENCH_INTERVAL=$I STEDM_BENCH_LEVELS=$L \
+    timeout 3600 python bench.py >/tmp/bench_i${I}_l${L}.json 2>/tmp/bench_i${I}_l${L}.log
+  cat /tmp/bench_i${I}_l${L}.json >&2
+done
+echo "sweep done" >&2
