@@ -205,9 +205,10 @@ class VectorQuantizer(nn.Module):
 
     n_embed: int = 8192
     embed_dim: int = 3
+    beta: float = 0.25
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, with_loss: bool = False):
         # taming init: uniform in [-1/n_embed, 1/n_embed]; stored directly so torch
         # codebooks import 1:1
         bound = 1.0 / self.n_embed
@@ -226,7 +227,16 @@ class VectorQuantizer(nn.Module):
         z_q = codebook[idx].reshape(z.shape)
         # straight-through: gradients flow to z, values come from the codebook
         z32 = z.astype(jnp.float32)
-        return z32 + jax.lax.stop_gradient(z_q - z32)
+        z_st = z32 + jax.lax.stop_gradient(z_q - z32)
+        if not with_loss:
+            return z_st
+        # taming VectorQuantizer2 "legacy" loss (quantize.py, legacy=True — the
+        # configuration ldm's VQModel uses): commitment term at weight 1, the
+        # codebook term scaled by beta=0.25
+        sg = jax.lax.stop_gradient
+        emb_loss = (jnp.mean(jnp.square(sg(z_q) - z32))
+                    + self.beta * jnp.mean(jnp.square(z_q - sg(z32))))
+        return z_st, emb_loss, idx.reshape(z.shape[:-1])
 
 
 class VQModelInterface(nn.Module):
@@ -267,3 +277,14 @@ class VQModelInterface(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.decode(self.encode(x))
+
+    def training_recon(self, x: jnp.ndarray):
+        """Full VQ training forward (the reference's **VQModel.forward**,
+        autoencoder.py:126-131, which `VQModelInterface` inherits): image ->
+        encode -> quantize (with the taming codebook loss) -> decode. Returns
+        ``(reconstruction, emb_loss, code_indices)`` for the VAE losses
+        (stedm_tpu/train/vae_losses.py). Dead on the diffusion path (the codec
+        is frozen there) — used only for codec fine-tuning (train_ae.py)."""
+        h = self.encode(x)
+        quant, emb_loss, idx = self.quantize(h, with_loss=True)
+        return self.decoder(self.post_quant_conv(quant)), emb_loss, idx

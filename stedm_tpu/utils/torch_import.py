@@ -383,6 +383,78 @@ def map_inception(sd: dict[str, np.ndarray], eps: float = 1e-3) -> dict:
     return out
 
 
+_VGG_SLICE_BOUNDS = (4, 9, 16, 23, 30)  # taming lpips.py vgg16 slice ends
+
+
+def map_lpips(sd: dict[str, np.ndarray]) -> dict:
+    """Map LPIPS weights to `stedm_tpu/models/lpips.py:LPIPS`.
+
+    Accepts (any mix, any of these roots: "", "perceptual_loss.",
+    "loss.perceptual_loss."):
+    * taming's ``vgg.pth`` ("vgg_lpips"): ``lin{k}.model.1.weight`` heads
+      (scaling-layer buffers are hardcoded in our module and skipped),
+    * a full taming ``LPIPS`` state_dict: ``net.slice{s}.{i}.weight/bias``,
+    * a bare torchvision VGG16: ``features.{i}.weight/bias`` (classifier keys
+      ignored), sliced at the max-pool boundaries 4/9/16/23/30.
+    Call once per source file and `merge_loaded` each result.
+    """
+    out: dict = {}
+    for key, v in sd.items():
+        k = key
+        for root in ("loss.perceptual_loss.", "perceptual_loss."):
+            if k.startswith(root):
+                k = k[len(root):]
+        parts = k.split(".")
+        if parts[0].startswith("lin") and parts[-1] == "weight" and \
+                parts[1:3] == ["model", "1"]:
+            _set(out, f"{parts[0]}_model_1/kernel", _conv_w(v))
+        elif parts[0] == "net" and parts[-1] in ("weight", "bias"):
+            name = f"net/net_{parts[1]}_{parts[2]}"
+            _set(out, f"{name}/{'kernel' if parts[-1] == 'weight' else 'bias'}",
+                 _conv_w(v) if parts[-1] == "weight" else v)
+        elif parts[0] == "features" and parts[-1] in ("weight", "bias"):
+            idx = int(parts[1])
+            s = next(i for i, end in enumerate(_VGG_SLICE_BOUNDS)
+                     if idx < end) + 1
+            _set(out, f"net/net_slice{s}_{idx}/"
+                      f"{'kernel' if parts[-1] == 'weight' else 'bias'}",
+                 _conv_w(v) if parts[-1] == "weight" else v)
+    return out
+
+
+def map_discriminator(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
+    """Map a taming ``NLayerDiscriminator`` state_dict (keys ``main.{i}.*``,
+    optionally under ``discriminator.`` / ``loss.discriminator.``) to
+    `stedm_tpu/models/discriminator.py` — returns ``(params, batch_stats)``
+    (BatchNorm running stats live in a separate flax collection)."""
+    params: dict = {}
+    stats: dict = {}
+    for key, v in sd.items():
+        k = key
+        for root in ("loss.discriminator.", "discriminator."):
+            if k.startswith(root):
+                k = k[len(root):]
+        parts = k.split(".")
+        if parts[0] != "main":
+            continue
+        name = f"main_{parts[1]}"
+        leaf = parts[-1]
+        if leaf == "weight":
+            if v.ndim == 4:
+                _set(params, f"{name}/kernel", _conv_w(v))
+            else:  # BatchNorm / ActNorm scale
+                _set(params, f"{name}/scale", v.reshape(-1))
+        elif leaf == "bias":
+            _set(params, f"{name}/bias", v.reshape(-1))
+        elif leaf == "running_mean":
+            _set(stats, f"{name}/mean", v)
+        elif leaf == "running_var":
+            _set(stats, f"{name}/var", v)
+        elif leaf in ("loc", "scale"):  # taming ActNorm [1, C, 1, 1]
+            _set(params, f"{name}/{leaf}", v.reshape(-1))
+    return params, stats
+
+
 def load_seg_encoder(params: Any, path: str) -> Any:
     """Load pretrained MiT-B2 weights into a SegUNet param tree's ``encoder``
     subtree (reference `modules/segmentation.py:41` ``encoder_weights="imagenet"``).

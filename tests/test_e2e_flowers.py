@@ -173,3 +173,43 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     assert img_b.shape == (2, 32, 32, 3)
     assert one_hot_b.shape == (2, 32, 32, 2)
     assert float(np.abs(img_b).max()) <= 1.0
+
+
+def test_train_ae_entry_point(flowers_dir, tmp_path):
+    """Codec fine-tune entry point (train_ae.py — the reference's dormant
+    VQModel training path, autoencoder.py:135-173) at toy scale: one epoch of
+    two-optimizer GAN training on tiny flowers, checkpoints + event log out."""
+    import train_ae as ta
+
+    result_dir = tmp_path / "results_ae"
+    overrides = CLASS_OVERRIDES + [
+        "data.patch_size=32",
+        "data.samples=4",
+        "data.batch_size=2",
+        "data.class_train_samples=2",
+        "num_epochs=1",
+        "lr=1e-3",
+        "location=pc",
+        "style_sampling=augmented",
+        "style_agg=mean",
+        f"location.data_dir={flowers_dir}",
+        f"location.result_dir={result_dir}",
+        # tiny codec + tiny critic
+        "diffusion.first_stage_config.params.ddconfig.ch=32",
+        "diffusion.first_stage_config.params.ddconfig.num_res_blocks=1",
+        "diffusion.first_stage_config.params.ddconfig.ch_mult=[1,2]",
+        "diffusion.first_stage_config.params.n_embed=64",
+        "loss.disc_start=1",
+        "loss.disc_ndf=16",
+        "loss.disc_num_layers=2",
+        "loss.perceptual_weight=0.0",
+    ]
+    ta.main(overrides)
+
+    run_dir = result_dir / "ae_flowers"
+    events = run_dir / "events.jsonl"
+    assert events.is_file()
+    text = events.read_text()
+    assert "train/total_loss" in text and "val/rec_loss" in text
+    assert (run_dir / "ckpt" / "ae_flowers_last").is_dir()
+    assert (run_dir / "ckpt" / "ae_flowers_best").is_dir()
