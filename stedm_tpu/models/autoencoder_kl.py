@@ -101,6 +101,14 @@ class AutoencoderKL(nn.Module):
         z = dist.mode() if rng is None else dist.sample(rng)
         return self.decode(z)
 
+    def training_recon(self, x: jnp.ndarray, rng: jax.Array):
+        """KL training forward (the reference's ``AutoencoderKL.forward`` with
+        ``sample_posterior=True``, autoencoder.py:335-342): returns
+        ``(reconstruction, posterior)`` for `stedm_tpu.train.vae_losses.
+        kl_generator_loss`. Used only by codec training (train_ae.py)."""
+        posterior = DiagonalGaussian(self.encode(x))
+        return self.decode(posterior.sample(rng)), posterior
+
 
 class IdentityFirstStage(nn.Module):
     """(reference autoencoder.py:426-443)"""

@@ -29,11 +29,20 @@ from stedm_tpu.train.vae_losses import (
     VAELossConfig,
     build_discriminator,
     discriminator_loss,
+    kl_generator_loss,
     measure_perplexity,
     vq_generator_loss,
 )
 
 LAST_LAYER_PATH = ("decoder", "conv_out", "kernel")
+
+
+def strip_lossvar(params):
+    """Drop the KL variant's trainable output-logvar leaf (not a model param —
+    torch keeps it on the LOSS module, contperceptual.py:20; we carry it in
+    ``gen_params['lossvar']`` so one Adam covers encoder+decoder+logvar like
+    the reference's optimizer 0, autoencoder.py:395-400)."""
+    return {k: v for k, v in params.items() if k != "lossvar"}
 
 
 class AEState(struct.PyTreeNode):
@@ -64,19 +73,30 @@ def ae_optimizers(lr: float):
 
 
 def make_ae_train_step(model, cfg: VAELossConfig, gen_tx, disc_tx,
-                       lpips=None) -> Callable:
+                       lpips=None, variant: str = "vq",
+                       seed: int = 0) -> Callable:
     """One combined step = generator update then discriminator update on the
     same batch (the reference's optimizer_idx 0/1 alternation collapsed into a
     single program — one dispatch per batch through the tunnel).
 
     ``lpips`` is the LPIPS module or None (perceptual term off — e.g. no
     staged VGG weights); its params ride in as an argument.
+
+    ``variant``: ``"vq"`` pairs a `VQModelInterface` with
+    ``VQLPIPSWithDiscriminator`` semantics (reference autoencoder.py:135-158);
+    ``"kl"`` pairs an `AutoencoderKL` with ``LPIPSWithDiscriminator``
+    (autoencoder.py:356-378, contperceptual.py:45-110). The KL posterior noise
+    is folded from ``seed`` + the step counter on device (torch draws from the
+    global RNG per call) and reused for the discriminator pass — matching the
+    reference, which reuses one sampled reconstruction for both optimizers.
     """
 
     if cfg.disc_conditional:
         # capability boundary: no STEDM config conditions the discriminator
         # (reference vqperceptual.py:117-122 asserts it off on this path too)
         raise NotImplementedError("disc_conditional is not supported")
+    if variant not in ("vq", "kl"):
+        raise ValueError(f"Unknown codec variant {variant!r}")
     disc = build_discriminator(cfg)
 
     def disc_apply(params, stats, x):
@@ -89,12 +109,7 @@ def make_ae_train_step(model, cfg: VAELossConfig, gen_tx, disc_tx,
         if lpips is not None:
             lpips_apply = lambda a, b: lpips.apply({"params": lpips_params},
                                                    a, b)
-
-        # --- generator update (reference vqperceptual.py:115-149) ---
-        def forward(p):
-            rec, emb_loss, idx = model.apply({"params": p}, img,
-                                             method=model.training_recon)
-            return rec, emb_loss, idx
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
         def gen_disc_apply(rec):
             # torch runs the discriminator in train mode inside the generator
@@ -103,11 +118,27 @@ def make_ae_train_step(model, cfg: VAELossConfig, gen_tx, disc_tx,
             logits, _ = disc_apply(state.disc_params, state.disc_stats, rec)
             return logits
 
-        gen_loss_fn = vq_generator_loss(
-            cfg, forward=forward, disc_apply=gen_disc_apply,
-            lpips_apply=lpips_apply, last_layer_path=LAST_LAYER_PATH)
-        (g_total, (g_log, idx)), grads = jax.value_and_grad(
+        # --- generator update (optimizer_idx==0: vqperceptual.py:115-149 /
+        # contperceptual.py:64-92) ---
+        if variant == "vq":
+            def forward(p):
+                return model.apply({"params": p}, img,
+                                   method=model.training_recon)
+
+            gen_loss_fn = vq_generator_loss(
+                cfg, forward=forward, disc_apply=gen_disc_apply,
+                lpips_apply=lpips_apply, last_layer_path=LAST_LAYER_PATH)
+        else:
+            def forward(p):
+                return model.apply({"params": strip_lossvar(p)}, img, rng,
+                                   method=model.training_recon)
+
+            gen_loss_fn = kl_generator_loss(
+                cfg, forward=forward, disc_apply=gen_disc_apply,
+                lpips_apply=lpips_apply, last_layer_path=LAST_LAYER_PATH)
+        (g_total, g_aux), grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params, img, state.step)
+        g_log, idx = g_aux if variant == "vq" else (g_aux, None)
         updates, gen_opt = gen_tx.update(grads, state.gen_opt,
                                          state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates)
@@ -123,10 +154,11 @@ def make_ae_train_step(model, cfg: VAELossConfig, gen_tx, disc_tx,
                                              state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, d_updates)
 
-        perplexity, cluster_use = measure_perplexity(idx, model.n_embed)
         log = {f"train/{k}": v for k, v in {**g_log, **d_log}.items()}
-        log["train/perplexity"] = perplexity
-        log["train/cluster_usage"] = cluster_use
+        if idx is not None:
+            perplexity, cluster_use = measure_perplexity(idx, model.n_embed)
+            log["train/perplexity"] = perplexity
+            log["train/cluster_usage"] = cluster_use
         new_state = AEState(step=state.step + 1, gen_params=gen_params,
                             gen_opt=gen_opt, disc_params=disc_params,
                             disc_stats=disc_stats, disc_opt=disc_opt)
@@ -135,25 +167,38 @@ def make_ae_train_step(model, cfg: VAELossConfig, gen_tx, disc_tx,
     return train_step
 
 
-def make_ae_eval_step(model, cfg: VAELossConfig, lpips=None) -> Callable:
+def make_ae_eval_step(model, cfg: VAELossConfig, lpips=None,
+                      variant: str = "vq") -> Callable:
     """Validation reconstruction metrics (the reference's validation_step,
-    autoencoder.py:176-186: rec loss + aeloss log without optimizer churn)."""
+    autoencoder.py:176-186 / :376-386: rec loss + aeloss log without optimizer
+    churn). Deviation for ``variant="kl"``: the posterior is sampled with a
+    FIXED key (torch re-draws from the global RNG each epoch), so the
+    best-on-val checkpoint selection compares like against like."""
 
     def eval_step(gen_params, img: jnp.ndarray, lpips_params):
-        rec, emb_loss, idx = model.apply({"params": gen_params}, img,
-                                         method=model.training_recon)
         from stedm_tpu.train.vae_losses import nll_terms
 
         lpips_apply = None
         if lpips is not None:
             lpips_apply = lambda a, b: lpips.apply({"params": lpips_params},
                                                    a, b)
+        if variant == "vq":
+            rec, emb_loss, idx = model.apply({"params": gen_params}, img,
+                                             method=model.training_recon)
+            rec_loss, p_loss = nll_terms(cfg, lpips_apply, img, rec)
+            perplexity, cluster_use = measure_perplexity(idx, model.n_embed)
+            return {"val/rec_loss": jnp.mean(rec_loss),
+                    "val/quant_loss": jnp.mean(emb_loss),
+                    "val/p_loss": jnp.mean(p_loss),
+                    "val/perplexity": perplexity,
+                    "val/cluster_usage": cluster_use}, rec
+        rec, posterior = model.apply({"params": strip_lossvar(gen_params)},
+                                     img, jax.random.PRNGKey(0),
+                                     method=model.training_recon)
         rec_loss, p_loss = nll_terms(cfg, lpips_apply, img, rec)
-        perplexity, cluster_use = measure_perplexity(idx, model.n_embed)
+        kl = posterior.kl()
         return {"val/rec_loss": jnp.mean(rec_loss),
-                "val/quant_loss": jnp.mean(emb_loss),
-                "val/p_loss": jnp.mean(p_loss),
-                "val/perplexity": perplexity,
-                "val/cluster_usage": cluster_use}, rec
+                "val/kl_loss": jnp.sum(kl) / kl.shape[0],
+                "val/p_loss": jnp.mean(p_loss)}, rec
 
     return eval_step

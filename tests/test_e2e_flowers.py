@@ -213,3 +213,44 @@ def test_train_ae_entry_point(flowers_dir, tmp_path):
     assert "train/total_loss" in text and "val/rec_loss" in text
     assert (run_dir / "ckpt" / "ae_flowers_last").is_dir()
     assert (run_dir / "ckpt" / "ae_flowers_best").is_dir()
+
+
+def test_train_ae_kl_entry_point(flowers_dir, tmp_path):
+    """KL-codec fine-tune (train_ae.py with first_stage_config=kl-f4 — the
+    reference's AutoencoderKL training path, autoencoder.py:356-400 through
+    LPIPSWithDiscriminator): one epoch at toy scale, KL metrics logged."""
+    import train_ae as ta
+
+    result_dir = tmp_path / "results_ae_kl"
+    overrides = CLASS_OVERRIDES + [
+        "diffusion/first_stage_config=kl-f4",
+        "data.patch_size=32",
+        "data.samples=4",
+        "data.batch_size=2",
+        "data.class_train_samples=2",
+        "num_epochs=1",
+        "lr=1e-3",
+        "location=pc",
+        "style_sampling=augmented",
+        "style_agg=mean",
+        f"location.data_dir={flowers_dir}",
+        f"location.result_dir={result_dir}",
+        "run_name=ae_kl",
+        # tiny codec + tiny critic
+        "diffusion.first_stage_config.params.ddconfig.ch=32",
+        "diffusion.first_stage_config.params.ddconfig.num_res_blocks=1",
+        "diffusion.first_stage_config.params.ddconfig.ch_mult=[1,2]",
+        "loss.disc_start=1",
+        "loss.disc_ndf=16",
+        "loss.disc_num_layers=2",
+        "loss.perceptual_weight=0.0",
+        "loss.kl_weight=1e-4",
+    ]
+    ta.main(overrides)
+
+    run_dir = result_dir / "ae_kl"
+    text = (run_dir / "events.jsonl").read_text()
+    assert "train/kl_loss" in text and "val/kl_loss" in text
+    assert "train/logvar" in text
+    assert (run_dir / "ckpt" / "ae_kl_last").is_dir()
+    assert (run_dir / "ckpt" / "ae_kl_best").is_dir()

@@ -247,6 +247,68 @@ def test_adaptive_weight_matches_torch_autograd():
                                rtol=1e-4)
 
 
+def test_kl_loss_matches_torch_formula():
+    """kl_generator_loss vs a torch twin of LPIPSWithDiscriminator's
+    optimizer_idx==0 branch (reference contperceptual.py:45-92): total loss,
+    adaptive d_weight, and the posterior KL on an identical one-conv decoder +
+    one-conv critic, posterior moments held constant."""
+    rng = np.random.default_rng(7)
+    w = rng.normal(size=(3, 3, 3, 3), scale=0.3).astype(np.float32)  # HWIO
+    wd = rng.normal(size=(4, 4, 3, 1), scale=0.3).astype(np.float32)
+    moments = rng.normal(size=(2, 8, 8, 6), scale=0.7).astype(np.float32)
+    target = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    logvar0 = 0.3
+
+    from stedm_tpu.models.autoencoder_kl import DiagonalGaussian
+
+    cfg = VL.VAELossConfig(disc_weight=0.8, perceptual_weight=0.0,
+                           kl_weight=1e-3, logvar_init=logvar0)
+
+    def forward(params):
+        post = DiagonalGaussian(jnp.asarray(moments))
+        rec = jax.lax.conv_general_dilated(
+            post.mode(), params["decoder"]["conv_out"]["kernel"], (1, 1),
+            "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return rec, post
+
+    def disc_apply(rec):
+        return jax.lax.conv_general_dilated(
+            rec, jnp.asarray(wd), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    loss_fn = VL.kl_generator_loss(
+        cfg, forward=forward, disc_apply=disc_apply, lpips_apply=None,
+        last_layer_path=("decoder", "conv_out", "kernel"))
+    params = {"decoder": {"conv_out": {"kernel": jnp.asarray(w)}},
+              "lossvar": {"logvar": jnp.float32(logvar0)}}
+    loss, log = loss_fn(params, jnp.asarray(target), jnp.int32(0))
+
+    # torch twin (NCHW)
+    tw = torch.from_numpy(np.transpose(w, (3, 2, 0, 1))).requires_grad_(True)
+    twd = torch.from_numpy(np.transpose(wd, (3, 2, 0, 1)))
+    tmo = torch.from_numpy(np.transpose(moments, (0, 3, 1, 2)))
+    tt = torch.from_numpy(np.transpose(target, (0, 3, 1, 2)))
+    tlogvar = torch.tensor(logvar0)
+    mean, logv = torch.chunk(tmo, 2, dim=1)
+    logv = torch.clamp(logv, -30.0, 20.0)
+    rec = F.conv2d(mean, tw, padding=1)
+    rec_loss = torch.abs(tt - rec)
+    nll = torch.sum(rec_loss / torch.exp(tlogvar) + tlogvar) / rec.shape[0]
+    kl = 0.5 * torch.sum(mean ** 2 + torch.exp(logv) - 1.0 - logv,
+                         dim=[1, 2, 3])
+    kl = torch.sum(kl) / kl.shape[0]
+    g = -torch.mean(F.conv2d(rec, twd, stride=2, padding=1))
+    nll_g = torch.autograd.grad(nll, tw, retain_graph=True)[0]
+    g_g = torch.autograd.grad(g, tw, retain_graph=True)[0]
+    d_weight = (torch.norm(nll_g) / (torch.norm(g_g) + 1e-4)).clamp(0, 1e4) * 0.8
+    want = nll + 1e-3 * kl + d_weight * 1.0 * g
+
+    np.testing.assert_allclose(float(log["kl_loss"]), float(kl), rtol=1e-5)
+    np.testing.assert_allclose(float(log["d_weight"]), float(d_weight),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-4)
+
+
 def _tiny_codec(patch=32):
     from stedm_tpu.models.vq import VQModelInterface
 
@@ -325,3 +387,67 @@ def test_ae_train_step_end_to_end():
     assert float(last["val/rec_loss"]) < float(first["val/rec_loss"])
     # codebook stats are live
     assert 1.0 <= logs[-1]["train/perplexity"] <= 64.0
+
+
+def _tiny_kl_codec(patch=32):
+    from stedm_tpu.models.autoencoder_kl import AutoencoderKL
+
+    return AutoencoderKL(embed_dim=3, ddconfig=dict(
+        double_z=True, z_channels=3, resolution=patch, in_channels=3,
+        out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+        attn_resolutions=[], dropout=0.0))
+
+
+def test_kl_ae_train_step_end_to_end():
+    """LPIPSWithDiscriminator fine-tune step on a tiny AutoencoderKL
+    (train_ae.py variant="kl"): finite losses, disc_start gating, the output
+    logvar actually trains, reconstruction improves."""
+    import optax
+
+    from stedm_tpu.train.ae_steps import (
+        create_ae_state,
+        make_ae_eval_step,
+        make_ae_train_step,
+    )
+
+    patch = 32
+    model = _tiny_kl_codec(patch)
+    cfg = VL.VAELossConfig(disc_start=3, disc_weight=0.5,
+                           perceptual_weight=0.0, disc_ndf=16,
+                           disc_num_layers=2, kl_weight=1e-4)
+    gen_params = dict(model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, patch, patch, 3)))["params"])
+    gen_params["lossvar"] = {"logvar": jnp.zeros((), jnp.float32)}
+    disc = VL.build_discriminator(cfg)
+    disc_vars = disc.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, patch, patch, 3)))
+
+    gen_tx = optax.adam(2e-3, b1=0.5, b2=0.9)
+    disc_tx = optax.adam(2e-3, b1=0.5, b2=0.9)
+    state = create_ae_state(gen_params, disc_vars, gen_tx, disc_tx)
+    step = jax.jit(make_ae_train_step(model, cfg, gen_tx, disc_tx,
+                                      variant="kl", seed=11))
+    eval_step = jax.jit(make_ae_eval_step(model, cfg, variant="kl"))
+
+    data = np.random.default_rng(5).uniform(
+        -1, 1, (2, patch, patch, 3)).astype(np.float32)
+    img = jnp.asarray(data)
+
+    first = eval_step(state.gen_params, img, {})[0]
+    logs = []
+    for _ in range(6):
+        state, log, rec = step(state, img, {})
+        logs.append({k: float(v) for k, v in log.items()})
+    last = eval_step(state.gen_params, img, {})[0]
+
+    for log in logs:
+        assert np.isfinite(list(log.values())).all()
+    assert logs[0]["train/disc_factor"] == 0.0
+    assert logs[-1]["train/disc_factor"] == 1.0
+    assert logs[0]["train/disc_loss"] == 0.0
+    assert "train/kl_loss" in logs[0] and "train/perplexity" not in logs[0]
+    # the output logvar is part of optimizer 0's params (contperceptual.py:20)
+    assert float(state.gen_params["lossvar"]["logvar"]) != 0.0
+    assert rec.shape == img.shape
+    assert float(last["val/rec_loss"]) < float(first["val/rec_loss"])
+    assert float(last["val/kl_loss"]) > 0.0

@@ -48,13 +48,24 @@ from stedm_tpu.train.vae_losses import VAELossConfig, build_discriminator
 from stedm_tpu.utils.logging import EventLogger
 
 
-def build_codec(cfg, dtype) -> VQModelInterface:
+def build_codec(cfg, dtype):
+    """Instantiate the codec named by ``first_stage_config.target`` —
+    ``(model, variant)`` where variant selects the loss pairing:
+    VQModelInterface -> "vq" (VQLPIPSWithDiscriminator semantics),
+    AutoencoderKL -> "kl" (LPIPSWithDiscriminator, reference
+    autoencoder.py:285-423 + contperceptual.py)."""
     fs = dict(cfg.diffusion.first_stage_config.params)
     fs.pop("ckpt_path", None)
     fs.pop("monitor", None)
     fs.pop("lossconfig", None)
     fs["ddconfig"] = dict(fs["ddconfig"])
-    return VQModelInterface(dtype=dtype, **fs)
+    target = str(cfg.diffusion.first_stage_config.target)
+    if target.rsplit(".", 1)[-1] == "AutoencoderKL":
+        from stedm_tpu.models.autoencoder_kl import AutoencoderKL
+
+        fs.pop("n_embed", None)
+        return AutoencoderKL(dtype=dtype, **fs), "kl"
+    return VQModelInterface(dtype=dtype, **fs), "vq"
 
 
 def maybe_load_lpips(cfg):
@@ -115,7 +126,7 @@ def main(argv: list[str]) -> None:
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         cfg.diffusion.get("compute_dtype", "float32")]
-    model = build_codec(cfg, dtype)
+    model, variant = build_codec(cfg, dtype)
     loss_cfg = VAELossConfig(**{k: v for k, v in dict(cfg.loss).items()})
     lpips, lpips_params = maybe_load_lpips(cfg)
     if lpips is None:
@@ -123,7 +134,13 @@ def main(argv: list[str]) -> None:
 
     p = cfg.data.patch_size
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
-    gen_params = model.init(rng, jnp.zeros((1, p, p, 3)))["params"]
+    gen_params = dict(model.init(rng, jnp.zeros((1, p, p, 3)))["params"])
+    if variant == "kl":
+        # trainable output log-variance rides in the generator tree (torch
+        # keeps it on the loss module — contperceptual.py:20 — and feeds it to
+        # optimizer 0, autoencoder.py:395-400)
+        gen_params["lossvar"] = {
+            "logvar": jnp.full((), float(loss_cfg.logvar_init), jnp.float32)}
     fs_ckpt = cfg.diffusion.first_stage_config.params.get("ckpt_path")
     if fs_ckpt:  # warm-start from the frozen diffusion codec checkpoint
         from pathlib import Path
@@ -156,10 +173,12 @@ def main(argv: list[str]) -> None:
     state = jax.device_put(state, rep)
     lpips_params = jax.device_put(lpips_params, rep)
     train_step = jax.jit(
-        make_ae_train_step(model, loss_cfg, gen_tx, disc_tx, lpips=lpips),
+        make_ae_train_step(model, loss_cfg, gen_tx, disc_tx, lpips=lpips,
+                           variant=variant, seed=cfg.get("seed", 0)),
         in_shardings=(rep, dp, rep), out_shardings=(rep, rep, dp),
         donate_argnums=0)
-    eval_step = jax.jit(make_ae_eval_step(model, loss_cfg, lpips=lpips),
+    eval_step = jax.jit(make_ae_eval_step(model, loss_cfg, lpips=lpips,
+                                          variant=variant),
                         in_shardings=(rep, dp, rep),
                         out_shardings=(rep, dp))
 
