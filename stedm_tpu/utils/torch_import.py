@@ -228,6 +228,52 @@ def map_cond_stage(sd: dict[str, np.ndarray]) -> dict:
     return out
 
 
+def map_xtransformer(sd: dict[str, np.ndarray], depth: int,
+                     root: str = "transformer.") -> dict:
+    """Map the reference's lucidrains-fork ``TransformerWrapper`` state_dict
+    (ldm/modules/x_transformer.py:548-640 at the embedder defaults — the layer
+    list interleaves attention at even and feedforward at odd indices,
+    :451,:475-479) to our `stedm_tpu/models/text_embedders.py:
+    TransformerWrapper` tree."""
+    out: dict = {}
+    fixed = {
+        "token_emb.weight": ("token_emb/embedding", None),
+        "pos_emb.emb.weight": ("pos_emb/embedding", None),
+        "norm.weight": ("norm/scale", None),
+        "norm.bias": ("norm/bias", None),
+        "to_logits.weight": ("to_logits/kernel", _dense_w),
+        "to_logits.bias": ("to_logits/bias", None),
+    }
+    per_layer = [
+        # (torch suffix under layers.{2i or 2i+1}., our name, transform)
+        ("0.weight", "attn_norm_{i}/scale", None, 0),
+        ("0.bias", "attn_norm_{i}/bias", None, 0),
+        ("1.to_q.weight", "attn_{i}/to_q/kernel", _dense_w, 0),
+        ("1.to_k.weight", "attn_{i}/to_k/kernel", _dense_w, 0),
+        ("1.to_v.weight", "attn_{i}/to_v/kernel", _dense_w, 0),
+        ("1.to_out.weight", "attn_{i}/to_out/kernel", _dense_w, 0),
+        ("1.to_out.bias", "attn_{i}/to_out/bias", None, 0),
+        ("0.weight", "ff_norm_{i}/scale", None, 1),
+        ("0.bias", "ff_norm_{i}/bias", None, 1),
+        ("1.net.0.0.weight", "ff_{i}/ff_in/kernel", _dense_w, 1),
+        ("1.net.0.0.bias", "ff_{i}/ff_in/bias", None, 1),
+        ("1.net.2.weight", "ff_{i}/ff_out/kernel", _dense_w, 1),
+        ("1.net.2.bias", "ff_{i}/ff_out/bias", None, 1),
+    ]
+    for tkey, (jkey, fn) in fixed.items():
+        full = root + tkey
+        if full in sd:
+            v = sd[full]
+            _set(out, jkey, fn(v) if fn else v)
+    for i in range(depth):
+        for suffix, jtpl, fn, odd in per_layer:
+            full = f"{root}attn_layers.layers.{2 * i + odd}.{suffix}"
+            if full in sd:
+                v = sd[full]
+                _set(out, jtpl.format(i=i), fn(v) if fn else v)
+    return out
+
+
 def map_full_ldm(sd: dict[str, np.ndarray]) -> dict:
     """Map a full reference LDM_Diffusion/S_ZSS_DM checkpoint into our STEDM tree
     (unet / first_stage / cond_stage). The style branch (agg/swin) is torchvision-
