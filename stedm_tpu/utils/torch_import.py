@@ -274,6 +274,67 @@ def map_xtransformer(sd: dict[str, np.ndarray], depth: int,
     return out
 
 
+def map_encoder_unet(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """Map a torch ``EncoderUNetModel`` state_dict (the half-U-Net classifier,
+    reference openaimodel.py:809-1024) to our
+    `stedm_tpu/models/encoder_unet.py:EncoderUNetModel` tree. The trunk reuses
+    the U-Net block mappers; the head is dispatched on the ``out.*`` keys
+    (adaptive / attention / spatial / spatial_v2)."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    for i in (0, 2):
+        if f"time_embed.{i}.weight" in sd:
+            _set(out, f"time_embed_{i}/kernel", _dense_w(sd[f"time_embed.{i}.weight"]))
+            _set(out, f"time_embed_{i}/bias", sd[f"time_embed.{i}.bias"])
+    if "input_blocks.0.0.weight" in sd:
+        _set(out, "input_blocks_0_0/kernel", _conv_w(sd["input_blocks.0.0.weight"]))
+        _set(out, "input_blocks_0_0/bias", sd["input_blocks.0.0.bias"])
+    idx = 1
+    while any(k.startswith(f"input_blocks.{idx}.") for k in sd):
+        if f"input_blocks.{idx}.0.op.weight" in sd:  # Downsample
+            _set(out, f"input_blocks_{idx}_0/op/kernel",
+                 _conv_w(sd[f"input_blocks.{idx}.0.op.weight"]))
+            _set(out, f"input_blocks_{idx}_0/op/bias",
+                 sd[f"input_blocks.{idx}.0.op.bias"])
+        else:
+            _resblock_entries(f"input_blocks.{idx}.0.", f"input_blocks_{idx}_0", sd, out)
+        _attnblock_entries(f"input_blocks.{idx}.1.", f"input_blocks_{idx}_1", sd, out)
+        idx += 1
+    # middle: ResBlock, Attention, ResBlock (no style block in the classifier)
+    _resblock_entries("middle_block.0.", "middle_block_0", sd, out)
+    _attnblock_entries("middle_block.1.", "middle_block_1", sd, out)
+    _resblock_entries("middle_block.2.", "middle_block_2", sd, out)
+    # pooled head
+    if "out.2.qkv_proj.weight" in sd:  # attention
+        _set(out, "out_norm/norm/scale", sd["out.0.weight"])
+        _set(out, "out_norm/norm/bias", sd["out.0.bias"])
+        _set(out, "attn_pool/positional_embedding",
+             _dense_w(sd["out.2.positional_embedding"]))
+        _set(out, "attn_pool/qkv_proj/kernel", _conv1d_w(sd["out.2.qkv_proj.weight"]))
+        _set(out, "attn_pool/qkv_proj/bias", sd["out.2.qkv_proj.bias"])
+        _set(out, "attn_pool/c_proj/kernel", _conv1d_w(sd["out.2.c_proj.weight"]))
+        _set(out, "attn_pool/c_proj/bias", sd["out.2.c_proj.bias"])
+    elif "out.0.weight" in sd and sd["out.0.weight"].ndim == 1:  # adaptive
+        _set(out, "out_norm/norm/scale", sd["out.0.weight"])
+        _set(out, "out_norm/norm/bias", sd["out.0.bias"])
+        _set(out, "out_conv/kernel", _dense_w(sd["out.3.weight"][:, :, 0, 0]))
+        _set(out, "out_conv/bias", sd["out.3.bias"])
+    elif "out.1.weight" in sd:  # spatial_v2: Linear, GN32, SiLU, Linear
+        _set(out, "out_0/kernel", _dense_w(sd["out.0.weight"]))
+        _set(out, "out_0/bias", sd["out.0.bias"])
+        _set(out, "out_norm/norm/scale", sd["out.1.weight"])
+        _set(out, "out_norm/norm/bias", sd["out.1.bias"])
+        _set(out, "out_3/kernel", _dense_w(sd["out.3.weight"]))
+        _set(out, "out_3/bias", sd["out.3.bias"])
+    elif "out.0.weight" in sd:  # spatial: Linear, ReLU, Linear
+        _set(out, "out_0/kernel", _dense_w(sd["out.0.weight"]))
+        _set(out, "out_0/bias", sd["out.0.bias"])
+        _set(out, "out_3/kernel", _dense_w(sd["out.2.weight"]))
+        _set(out, "out_3/bias", sd["out.2.bias"])
+    return out
+
+
 def map_full_ldm(sd: dict[str, np.ndarray]) -> dict:
     """Map a full reference LDM_Diffusion/S_ZSS_DM checkpoint into our STEDM tree
     (unet / first_stage / cond_stage). The style branch (agg/swin) is torchvision-
