@@ -49,3 +49,33 @@ def profile_trace(log_dir: str | None):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def log_txt_as_img(wh: tuple[int, int], captions: list[str],
+                   size: int = 10) -> np.ndarray:
+    """Render captions onto white canvases for image logging (reference
+    `ldm/util.py:17-38`). Host-side PIL; returns NHWC float32 in [-1, 1]
+    (the reference returns NCHW torch in the same range). Wraps every
+    ``int(40 * w/256)`` characters like the reference; uses the system
+    DejaVuSans (the reference hardcodes a repo-local copy) with a PIL
+    default-font fallback."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", size=size)
+    except OSError:
+        font = ImageFont.load_default()
+    out = []
+    nc = int(40 * (wh[0] / 256))
+    for caption in captions:
+        canvas = Image.new("RGB", wh, color="white")
+        draw = ImageDraw.Draw(canvas)
+        lines = "\n".join(caption[start:start + nc]
+                          for start in range(0, len(caption), nc))
+        try:
+            draw.text((0, 0), lines, fill="black", font=font)
+        except UnicodeEncodeError:
+            print("Can't encode string for logging. Skipping.")
+        out.append(np.asarray(canvas, dtype=np.float32) / 127.5 - 1.0)
+    return np.stack(out)

@@ -220,6 +220,96 @@ def map_vq(sd: dict[str, np.ndarray], root: str = "") -> dict:
     return out
 
 
+def _plain_conv(prefix_t: str, prefix_j: str, sd: dict, out: dict) -> None:
+    if f"{prefix_t}weight" in sd:
+        _set(out, f"{prefix_j}/kernel", _conv_w(sd[f"{prefix_t}weight"]))
+        _set(out, f"{prefix_j}/bias", sd[f"{prefix_t}bias"])
+
+
+def _gn_entries(prefix_t: str, prefix_j: str, sd: dict, out: dict) -> None:
+    if f"{prefix_t}weight" in sd:
+        _set(out, f"{prefix_j}/norm/scale", sd[f"{prefix_t}weight"])
+        _set(out, f"{prefix_j}/norm/bias", sd[f"{prefix_t}bias"])
+
+
+def map_simple_decoder(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """`SimpleDecoder` (reference model.py:571-604) -> models/aux_decoders.py."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    for i in (0, 4):
+        _plain_conv(f"model.{i}.", f"model_{i}", sd, out)
+    for i in (1, 2, 3):
+        _vq_resnet(f"model.{i}.", f"model_{i}", sd, out)
+    _plain_conv("model.5.conv.", "model_5/conv", sd, out)
+    _gn_entries("norm_out.", "norm_out", sd, out)
+    _plain_conv("conv_out.", "conv_out", sd, out)
+    return out
+
+
+def map_upsample_decoder(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """`UpsampleDecoder` (reference model.py:607-652)."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    for lvl in range(16):
+        for blk in range(8):
+            _vq_resnet(f"res_blocks.{lvl}.{blk}.", f"res_{lvl}_{blk}", sd, out)
+        _plain_conv(f"upsample_blocks.{lvl}.conv.", f"upsample_{lvl}/conv",
+                    sd, out)
+    _gn_entries("norm_out.", "norm_out", sd, out)
+    _plain_conv("conv_out.", "conv_out", sd, out)
+    return out
+
+
+def map_latent_rescaler(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """`LatentRescaler` (reference model.py:655-689)."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    _plain_conv("conv_in.", "conv_in", sd, out)
+    for i in range(16):
+        _vq_resnet(f"res_block1.{i}.", f"res1_{i}", sd, out)
+        _vq_resnet(f"res_block2.{i}.", f"res2_{i}", sd, out)
+    _vq_attn("attn.", "attn", sd, out)
+    _plain_conv("conv_out.", "conv_out", sd, out)
+    return out
+
+
+def map_merged_rescale_encoder(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """`MergedRescaleEncoder` (reference model.py:692-708): full codec Encoder
+    keys ride `map_vq`'s ``encoder.`` handling; the rescaler nests alongside."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out = map_vq(sd)
+    out["rescaler"] = map_latent_rescaler(sd, root="rescaler.")
+    return out
+
+
+def map_merged_rescale_decoder(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """`MergedRescaleDecoder` (model.py:711-725) and `Upsampler` (:728-744) —
+    both are `rescaler.` + `decoder.` trees."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out = map_vq(sd)
+    out["rescaler"] = map_latent_rescaler(sd, root="rescaler.")
+    return out
+
+
+def map_first_stage_post(sd: dict[str, np.ndarray], root: str = "") -> dict:
+    """`FirstStagePostProcessor` (model.py:770-834). The torch blocks carry
+    unused `temb_proj` params (ResnetBlock default temb_channels=512 with
+    temb=None at forward) — skipped, as is the param-free `downsampler`."""
+    if root:
+        sd = {k[len(root):]: v for k, v in sd.items() if k.startswith(root)}
+    out: dict = {}
+    _gn_entries("proj_norm.", "proj_norm", sd, out)
+    _plain_conv("proj.", "proj", sd, out)
+    for i in range(16):
+        _vq_resnet(f"model.{i}.", f"model_{i}", sd, out)
+    return out
+
+
 def map_cond_stage(sd: dict[str, np.ndarray]) -> dict:
     out: dict = {}
     key = "cond_stage_model.channel_mapper.weight"

@@ -23,16 +23,24 @@ pytestmark = pytest.mark.skipif(not REFERENCE.exists(),
 
 
 @pytest.fixture(scope="module")
-def ref_mods():
+def ref_mods(request):
     import scipy
 
     if not hasattr(scipy, "finfo"):  # removed alias used by ref fspecial
         scipy.finfo = np.finfo
     sys.path.append(str(REFERENCE))
+    # stub only what's missing, and REMOVE the stubs afterwards: a leaked empty
+    # `matplotlib` stub poisons every later test in the session that imports
+    # the real package (test_seg's CM figures died on exactly that)
+    stubbed = []
     for name in ["albumentations", "torchvision", "torchvision.utils",
                  "matplotlib", "matplotlib.pyplot"]:
-        sys.modules.setdefault(name, types.ModuleType(name))
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            stubbed.append(name)
     sys.modules["torchvision.utils"].make_grid = lambda *a, **k: None
+    request.addfinalizer(
+        lambda: [sys.modules.pop(name, None) for name in stubbed])
     import ldm.modules.image_degradation.bsrgan as ref_bsr
     import ldm.modules.image_degradation.utils_image as ref_util
     return ref_bsr, ref_util
