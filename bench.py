@@ -46,6 +46,10 @@ STEPS = 50
 # sweepable via env for on-chip A/Bs (STEDM_BENCH_INTERVAL / _LEVELS).
 CACHE_INTERVAL = int(os.environ.get("STEDM_BENCH_INTERVAL", 3))
 CACHE_LEVELS = int(os.environ.get("STEDM_BENCH_LEVELS", 1))
+# non-uniform refresh placement (core/cache_schedule.py spec, e.g. "quad:13",
+# "uniform:5", "0,3,8,...", or "auto:R" to calibrate drift on this model);
+# empty = uniform every CACHE_INTERVAL steps
+CACHE_SCHEDULE = os.environ.get("STEDM_BENCH_SCHEDULE", "")
 # host-sampler steps per dispatched block. Swept on-chip (2026-08-17):
 # unroll 10 / batch 8 won — exact 7.97 img/s, serving 18.05 (unroll 5:
 # 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
@@ -106,6 +110,31 @@ def main() -> None:
     schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
     base = dict(ddim_steps=STEPS, eta=0.0, cfg_scale=1.5, rescale_phi=0.7,
                 batched_cfg=True, downsample=4)
+    serving = dict(cache_interval=CACHE_INTERVAL, cache_levels=CACHE_LEVELS)
+    mode = f"deepcache_interval_{CACHE_INTERVAL}_levels_{CACHE_LEVELS}"
+    if CACHE_SCHEDULE:
+        from stedm_tpu.core.cache_schedule import positions_from_spec
+        from stedm_tpu.core.ddim import DDIMParams
+
+        n_steps = DDIMParams.create(schedule, STEPS, 0.0).num_steps
+        drift = None
+        if CACHE_SCHEDULE.startswith("auto"):
+            from stedm_tpu.train.calibrate import measure_cache_drift
+
+            drift = measure_cache_drift(
+                model, schedule, SamplerConfig(**base), params, batch,
+                jax.random.PRNGKey(42))
+            print("calibrated drift: " + " ".join(f"{d:.3f}" for d in drift),
+                  file=sys.stderr)
+        pos = positions_from_spec(CACHE_SCHEDULE, n_steps, drift)
+        print(f"cache schedule {CACHE_SCHEDULE}: {len(pos)} refreshes at "
+              f"{list(pos)}", file=sys.stderr)
+        serving = dict(cache_interval=1, cache_levels=CACHE_LEVELS,
+                       cache_schedule=pos)
+        mode = (f"deepcache_schedule_{CACHE_SCHEDULE}_levels_{CACHE_LEVELS}"
+                f"_refreshes_{len(pos)}")
+    elif CACHE_INTERVAL <= 1:
+        mode = "exact"
     if host_loop_default() and os.environ.get("STEDM_BENCH_SCAN", "") in (
             "", "0", "false", "False"):
         # host-driven block sampler (stedm_tpu/train/host_sampler.py): same
@@ -115,15 +144,12 @@ def main() -> None:
         sample_exact = make_host_sample_fn(model, schedule, SamplerConfig(**base),
                                            unroll=UNROLL)
         sample = make_host_sample_fn(
-            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL,
-                                           cache_levels=CACHE_LEVELS, **base),
-            unroll=UNROLL)
+            model, schedule, SamplerConfig(**serving, **base), unroll=UNROLL)
     else:
         sample_exact = jax.jit(make_sample_fn(model, schedule,
                                               SamplerConfig(**base)))
         sample = jax.jit(make_sample_fn(
-            model, schedule, SamplerConfig(cache_interval=CACHE_INTERVAL,
-                                           cache_levels=CACHE_LEVELS, **base)))
+            model, schedule, SamplerConfig(**serving, **base)))
 
     mean = jax.jit(lambda x: x.mean())
 
@@ -153,7 +179,7 @@ def main() -> None:
     mse = float(jnp.mean((img_cached - img_exact) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
     print(f"exact-trajectory (cache off): {exact_ips:.3f} img/s; "
-          f"cached-vs-exact PSNR {psnr:.1f} dB (interval {CACHE_INTERVAL})",
+          f"cached-vs-exact PSNR {psnr:.1f} dB ({mode})",
           file=sys.stderr)
 
     # analytic A100 baseline. XLA cost_analysis counts a scan body ONCE, so cost
@@ -194,8 +220,7 @@ def main() -> None:
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
-        "mode": (f"deepcache_interval_{CACHE_INTERVAL}_levels_{CACHE_LEVELS}"
-                 if CACHE_INTERVAL > 1 else "exact"),
+        "mode": mode,
         "exact_value": round(exact_ips, 4),
         "exact_vs_baseline": round(exact_ips / baseline, 4),
         "cached_vs_exact_psnr_db": round(psnr, 2),

@@ -120,6 +120,11 @@ def main(argv: list[str]) -> None:
         # exact reference trajectory
         cache_interval=int(cfg.get("cache_interval", 1)),
         cache_levels=int(cfg.get("cache_levels", 1)))
+    # non-uniform serving mode: `+cache_schedule=` takes explicit positions
+    # ("0,3,7,..."), "uniform:N", "quad:R[:center[:power]]", or "auto:R" —
+    # auto calibrates the refresh placement on the first predict batch (one
+    # exact trajectory measuring per-step trunk drift; core/cache_schedule.py)
+    cache_schedule_spec = cfg.get("cache_schedule", None)
 
     rep = replicated(mesh)
     dp = batch_sharding(mesh)
@@ -154,6 +159,35 @@ def main(argv: list[str]) -> None:
     # `+host_loop=true/false`.
     from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
 
+    loader_stream = iter(loader)
+    if cache_schedule_spec is not None:
+        import dataclasses as _dc
+        import itertools
+
+        from stedm_tpu.core.cache_schedule import positions_from_spec
+        from stedm_tpu.core.ddim import DDIMParams
+
+        if grid > 1:
+            raise SystemExit("deep-feature caching (+cache_schedule=) is not "
+                             "supported on tiled canvases (+canvas_size=)")
+        n_steps = DDIMParams.create(schedule, cfg.ddim_steps, cfg.eta).num_steps
+        spec = (str(cache_schedule_spec) if isinstance(cache_schedule_spec, str)
+                else list(cache_schedule_spec))
+        drift = None
+        if isinstance(spec, str) and spec.startswith("auto"):
+            from stedm_tpu.train.calibrate import measure_cache_drift
+
+            first = next(loader_stream)
+            loader_stream = itertools.chain([first], loader_stream)
+            calib_cfg = _dc.replace(sampler_cfg, cache_interval=1,
+                                    cache_schedule=None)
+            drift = measure_cache_drift(model, schedule, calib_cfg, params,
+                                        batch_to_ldm(first), rng)
+        positions = positions_from_spec(spec, n_steps, drift)
+        print(f"cache_schedule: refreshing the deep trunk at positions "
+              f"{list(positions)} of {n_steps} steps")
+        sampler_cfg = _dc.replace(sampler_cfg, cache_schedule=positions)
+
     use_host = cfg.get("host_loop", None)
     if use_host:
         # the host sampler is single-device/single-process; an explicit
@@ -170,14 +204,15 @@ def main(argv: list[str]) -> None:
                     and sampler_cfg.method in ("ddim", "plms", "dpm")
                     and n_devices == 1 and jax.process_count() == 1
                     and (grid == 1 or (sampler_cfg.method == "ddim"
-                                       and sampler_cfg.cache_interval == 1)))
+                                       and sampler_cfg.cache_interval == 1
+                                       and sampler_cfg.cache_schedule is None)))
     if use_host:
         sample = make_host_sample_fn(model, schedule, sampler_cfg)
     else:
         sample = jax.jit(make_sample_fn(model, schedule, sampler_cfg),
                          in_shardings=(rep, dp, None), out_shardings=dp)
 
-    for batch_idx, np_batch in enumerate(loader):
+    for batch_idx, np_batch in enumerate(loader_stream):
         ldm_batch = batch_to_ldm(np_batch)
         indices = np.asarray(np_batch[4])
         if grid > 1:

@@ -144,6 +144,88 @@ def ddim_sample(eps_fn: Callable, x_T: jnp.ndarray, params: DDIMParams, *,
     return x_0
 
 
+def ddim_sample_scheduled(eps_full_fn: Callable, eps_cached_fn: Callable,
+                          x_T: jnp.ndarray, params: DDIMParams, *,
+                          refresh_positions, cfg_scale: float = 1.0,
+                          rescale_phi: float = 0.7, rng: jax.Array | None = None,
+                          temperature: float = 1.0) -> jnp.ndarray:
+    """DDIM with deep-feature reuse on an ARBITRARY refresh schedule.
+
+    The non-uniform twin of `ddim_sample_cached`: ``refresh_positions`` (scan
+    order, 0 = highest-noise step, must include 0 — see
+    `stedm_tpu.core.cache_schedule`) names the steps that re-evaluate the full
+    model via ``eps_full_fn``; every other step runs ``eps_cached_fn`` against
+    the most recent cache. Step 0 runs outside the scan (it materializes the
+    cache pytree); the rest is one `lax.scan` whose body switches on a per-step
+    refresh flag with `lax.cond`, so only the selected branch executes at
+    runtime and the program stays a single static trace for any schedule.
+
+    With ``refresh_positions = range(0, S, N)`` the trajectory equals
+    `ddim_sample_cached(cache_interval=N)`; with ``range(S)`` it equals
+    `ddim_sample`.
+    """
+    from stedm_tpu.core.cache_schedule import validate_positions
+
+    use_cfg = cfg_scale != 1.0
+    steps = params.num_steps
+    batch = x_T.shape[0]
+    refresh = np.zeros(steps, bool)
+    refresh[list(validate_positions(refresh_positions, steps))] = True
+
+    if rng is not None:
+        step_keys = jax.random.split(rng, steps)
+    else:
+        step_keys = jnp.zeros((steps, 2), dtype=jnp.uint32)
+    stochastic = rng is not None
+
+    order = jnp.arange(steps - 1, -1, -1)
+    consts = (params.timesteps[order], params.alphas[order],
+              params.alphas_prev[order], params.sigmas[order],
+              params.sqrt_one_minus_alphas[order])
+
+    def update(x, out, a_t, a_prev, sigma_t, sq1m, key):
+        if use_cfg:
+            e_t = rescaled_cfg(out[0], out[1], cfg_scale, rescale_phi)
+        else:
+            e_t = out[0] if isinstance(out, tuple) else out
+        noise = (jax.random.normal(key, x.shape, dtype=jnp.float32)
+                 if stochastic else None)
+        return ddim_step(x, e_t, a_t, a_prev, sigma_t, sq1m,
+                         noise=noise, temperature=temperature)[0]
+
+    # step 0 (always a refresh) materializes the cache pytree for the scan carry
+    x = x_T.astype(jnp.float32)
+    ts0 = jnp.full((batch,), consts[0][0], dtype=jnp.int32)
+    out0, cache = eps_full_fn(x, ts0)
+    x = update(x, out0, consts[1][0], consts[2][0], consts[3][0], consts[4][0],
+               step_keys[0])
+    if steps == 1:
+        return x
+
+    xs = tuple(c[1:] for c in consts) + (
+        step_keys[1:], jnp.asarray(refresh[1:]))
+
+    def body(carry, per_step):
+        x, cache = carry
+        step_t, a_t, a_prev, sigma_t, sq1m, key, is_refresh = per_step
+        ts = jnp.full((batch,), step_t, dtype=jnp.int32)
+
+        def full_branch(x, ts, cache):
+            out, new_cache = eps_full_fn(x, ts)
+            return out, new_cache
+
+        def cached_branch(x, ts, cache):
+            return eps_cached_fn(x, ts, cache), cache
+
+        out, cache = jax.lax.cond(is_refresh, full_branch, cached_branch,
+                                  x, ts, cache)
+        x = update(x, out, a_t, a_prev, sigma_t, sq1m, key)
+        return (x, cache), ()
+
+    (x_0, _), _ = jax.lax.scan(body, (x, cache), xs)
+    return x_0
+
+
 def ddim_sample_cached(eps_full_fn: Callable, eps_cached_fn: Callable,
                        x_T: jnp.ndarray, params: DDIMParams, *,
                        cache_interval: int, cfg_scale: float = 1.0,

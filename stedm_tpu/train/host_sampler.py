@@ -102,10 +102,14 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     """
     if cfg.method not in ("ddim", "plms", "dpm"):
         raise NotImplementedError(f"unknown sampler method {cfg.method!r}")
-    if cfg.method != "ddim" and cfg.cache_interval > 1:
+    caching = cfg.cache_interval > 1 or cfg.cache_schedule is not None
+    if cfg.method != "ddim" and caching:
         # mirror make_sample_fn's check (train/steps.py) — silently sampling
         # uncached would misreport serving-mode throughput
-        raise ValueError("cache_interval > 1 is only supported for DDIM")
+        raise ValueError("deep-feature caching is only supported for DDIM")
+    if cfg.cache_interval > 1 and cfg.cache_schedule is not None:
+        raise ValueError("cache_interval > 1 and cache_schedule are mutually "
+                         "exclusive refresh placements")
     if cfg.eta > 0 and cfg.method != "ddim":
         # mirror make_sample_fn: the reference's PLMS asserts ddim_eta == 0
         # (reference plms.py:30) and DPM-Solver ignores eta
@@ -118,9 +122,9 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     bottleneck_only = (not model.unet_config.get("use_spatial_transformer", False)
                        and model.conditioning_key == "hybrid")
     shared_enc = use_cfg and cfg.batched_cfg and bottleneck_only
-    if interval > 1 and use_cfg and not shared_enc:
+    if caching and use_cfg and not shared_enc:
         raise ValueError(
-            "cache_interval > 1 with CFG requires batched_cfg and "
+            "deep-feature caching with CFG requires batched_cfg and "
             "bottleneck-only conditioning (shared-encoder fan-out)")
 
     # host copies of the per-step constants, high-noise step first
@@ -240,27 +244,42 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     # ---- block partition -------------------------------------------------
     # dispatch k consecutive steps as ONE jitted program with the body
     # unrolled inline — k-fold fewer host dispatches, and XLA fuses across the
-    # steps of a block. In cached serving mode the natural block is [full
-    # refresh + (interval-1) cached steps], so the deep-feature cache never
-    # leaves the program. Exact mode prefers an unroll factor dividing the
-    # step count to avoid compiling a tail-size program.
+    # steps of a block. In cached serving mode every block starts with a full
+    # refresh and carries the deep-feature cache inside the program (uniform
+    # intervals additionally unroll m whole periods per block; a non-uniform
+    # `cache_schedule` blocks one refresh period each, so period lengths stay
+    # the only axis of program variety). Exact mode prefers an unroll factor
+    # dividing the step count to avoid compiling a tail-size program.
     steps = ddim.num_steps
-    if interval > 1:
-        # cached mode blocks by whole refresh periods; unroll m periods/block
-        m = max(1, int(unroll) // interval) if unroll else 1
-        block_k = interval * m
-    else:
-        block_k = _default_unroll(steps)
-    sizes = _partition(steps, block_k)
+    if caching:
+        if cfg.cache_schedule is not None:
+            from stedm_tpu.core.cache_schedule import validate_positions
 
-    def _make_block(k: int):
+            refresh_set = set(validate_positions(cfg.cache_schedule, steps))
+            block_starts = sorted(refresh_set)
+        else:
+            refresh_set = set(range(0, steps, interval))
+            m = max(1, int(unroll) // interval) if unroll else 1
+            block_starts = list(range(0, steps, interval * m))
+        sizes = [b2 - b1 for b1, b2 in
+                 zip(block_starts, block_starts[1:] + [steps])]
+        patterns = []
+        s0 = 0
+        for k in sizes:
+            patterns.append(tuple((s0 + j) in refresh_set for j in range(k)))
+            s0 += k
+    else:
+        sizes = _partition(steps, _default_unroll(steps))
+        patterns = [None] * len(sizes)
+
+    def _make_block(k: int, pattern: tuple[bool, ...] | None):
         def fn(var, x, seg_cond, ctx, tb, ab, apb, sgb, sqb, keys):
             b = x.shape[0]
             cache = None
             for j in range(k):  # static unroll
                 ts = jnp.full((b,), tb[j], dtype=jnp.int32)
                 key = keys[j] if stochastic else keys
-                if interval > 1 and j % interval == 0:
+                if pattern is not None and pattern[j]:
                     if use_cfg:  # shared-encoder fan-out (ctor-checked)
                         e, cache = model.apply(var, x, ts, seg_cond, ctx,
                                                cfg.cache_levels,
@@ -270,7 +289,7 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                         out, cache = model.apply(var, x, ts, seg_cond, ctx,
                                                  cfg.cache_levels,
                                                  method=model.eps_full)
-                elif interval > 1:
+                elif pattern is not None:
                     e = model.apply(var, x, ts, seg_cond, cache,
                                     cfg.cache_levels, method=model.eps_cached)
                     out = (e[:b], e[b:]) if use_cfg else e
@@ -280,7 +299,9 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
             return x
         return jax.jit(fn, donate_argnums=(1,))
 
-    block_fns = {k: _make_block(k) for k in sorted(set(sizes))}
+    block_fns = {}
+    for k, pat in zip(sizes, patterns):
+        block_fns.setdefault((k, pat), _make_block(k, pat))
     # per-block step constants as device-resident [k] arrays, built once
     block_consts = []
     start = 0
@@ -293,9 +314,9 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         # same key sequence as ddim_sample's step_keys (index 0 = highest noise)
         step_keys = jax.random.split(rng, steps) if stochastic else None
         i = 0
-        for k, cb in zip(sizes, block_consts):
+        for k, pat, cb in zip(sizes, patterns, block_consts):
             keys = step_keys[i:i + k] if stochastic else rng
-            x = block_fns[k](var, x, seg_cond, ctx, *cb, keys)
+            x = block_fns[(k, pat)](var, x, seg_cond, ctx, *cb, keys)
             i += k
         return x
 

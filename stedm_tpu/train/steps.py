@@ -154,6 +154,10 @@ class SamplerConfig:
     method: str = "ddim"          # ddim | plms | dpm (DPM-Solver++ 2M)
     cache_interval: int = 1       # >1: DeepCache-style deep-feature reuse (serving
     cache_levels: int = 1         # mode; 1 = off = exact reference trajectory)
+    cache_schedule: tuple = None  # explicit refresh positions (scan order, must
+                                  # include 0) — non-uniform serving mode; see
+                                  # core/cache_schedule.py. Mutually exclusive
+                                  # with cache_interval > 1.
     tile_stride_frac: float = 0.75  # latent tile stride (fraction of the latent
                                     # patch) for canvases larger than the patch
 
@@ -163,7 +167,7 @@ def check_tiled_supported(model: STEDM, cfg: SamplerConfig, use_cfg: bool) -> No
     if cfg.method != "ddim":
         raise NotImplementedError("tiled canvases support DDIM only "
                                   f"(got method={cfg.method!r})")
-    if cfg.cache_interval > 1:
+    if cfg.cache_interval > 1 or cfg.cache_schedule is not None:
         raise ValueError("deep-feature caching is not supported on the tiled "
                          "canvas path")
     bottleneck_only = (not model.unet_config.get("use_spatial_transformer", False)
@@ -323,12 +327,15 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                     return e_c, e_u
 
         scale = cfg.cfg_scale if use_cfg else 1.0
-        if cfg.cache_interval > 1:
+        if cfg.cache_interval > 1 or cfg.cache_schedule is not None:
+            if cfg.cache_interval > 1 and cfg.cache_schedule is not None:
+                raise ValueError("cache_interval > 1 and cache_schedule are "
+                                 "mutually exclusive refresh placements")
             if cfg.method != "ddim":
-                raise ValueError("cache_interval > 1 is only supported for DDIM")
+                raise ValueError("deep-feature caching is only supported for DDIM")
             if use_cfg and not (cfg.batched_cfg and bottleneck_only):
                 raise ValueError(
-                    "cache_interval > 1 with CFG requires batched_cfg and "
+                    "deep-feature caching with CFG requires batched_cfg and "
                     "bottleneck-only conditioning (shared-encoder fan-out)")
 
             if use_cfg:
@@ -352,10 +359,19 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                     return model.apply(var, x, t, seg_cond, cache,
                                        cfg.cache_levels, method=model.eps_cached)
 
-            z_0 = ddim_sample_cached(eps_full_fn, eps_cached_fn, x_T, ddim,
-                                     cache_interval=cfg.cache_interval,
-                                     cfg_scale=scale, rescale_phi=cfg.rescale_phi,
-                                     rng=rng_steps)
+            if cfg.cache_schedule is not None:
+                from stedm_tpu.core.ddim import ddim_sample_scheduled
+
+                z_0 = ddim_sample_scheduled(
+                    eps_full_fn, eps_cached_fn, x_T, ddim,
+                    refresh_positions=cfg.cache_schedule, cfg_scale=scale,
+                    rescale_phi=cfg.rescale_phi, rng=rng_steps)
+            else:
+                z_0 = ddim_sample_cached(eps_full_fn, eps_cached_fn, x_T, ddim,
+                                         cache_interval=cfg.cache_interval,
+                                         cfg_scale=scale,
+                                         rescale_phi=cfg.rescale_phi,
+                                         rng=rng_steps)
         elif cfg.method == "plms":
             from stedm_tpu.core.plms import plms_sample
 

@@ -97,18 +97,22 @@ def train_tiny(model, steps: int, patch: int = 32, log=print):
     return state, schedule
 
 
-def generate_set(model, schedule, params, *, interval: int, n: int,
+def generate_set(model, schedule, params, *, interval: int = 1, n: int,
                  patch: int = 32, ddim_steps: int = 50, batch: int = 8,
-                 seed: int = 1000) -> np.ndarray:
+                 seed: int = 1000, positions=None) -> np.ndarray:
     """n sampled images in [-1,1] float32, fresh held-out layouts per batch.
-    Same layout/noise seeds across intervals so per-pixel deltas are paired."""
+    Same layout/noise seeds across intervals so per-pixel deltas are paired.
+    ``positions`` (refresh schedule, core/cache_schedule.py) overrides
+    ``interval`` for non-uniform serving-mode placement."""
     import jax
 
     from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
 
     cfg = SamplerConfig(ddim_steps=ddim_steps, eta=0.0, cfg_scale=1.5,
                         rescale_phi=0.7, batched_cfg=True, downsample=4,
-                        cache_interval=interval)
+                        cache_interval=1 if positions is not None else interval,
+                        cache_schedule=(tuple(positions)
+                                        if positions is not None else None))
     fn = jax.jit(make_sample_fn(model, schedule, cfg))
     out = []
     for bi in range(-(-n // batch)):
@@ -144,9 +148,11 @@ def fid_rp(a: np.ndarray, b: np.ndarray, patch: int = 64,
 
 def evaluate(model, schedule, params, *, intervals, patch: int = 32,
              ddim_steps: int = 50, fid_samples: int = 256,
-             log=print) -> dict[int, dict]:
+             schedules: dict | None = None, log=print) -> dict:
     """Per-interval quality table vs the exact trajectory: paired PSNR/rel-RMS
-    plus set-level FID_rp against the real distribution (interval 1 = exact)."""
+    plus set-level FID_rp against the real distribution (interval 1 = exact).
+    ``schedules`` maps extra labels to explicit refresh-position tuples
+    (non-uniform serving mode) priced the same way."""
     exact = generate_set(model, schedule, params, interval=1, n=fid_samples,
                          patch=patch, ddim_steps=ddim_steps)
     real = real_set(fid_samples, patch)
@@ -159,20 +165,27 @@ def evaluate(model, schedule, params, *, intervals, patch: int = 32,
     log(f"same-distribution noise floor: FID_rp {floor:.4f}")
     log(f"interval=1 (exact): FID_rp {results[1]['fid_rp']:.4f} "
         f"({fid_samples} samples vs real)")
-    for interval in intervals:
-        cached = generate_set(model, schedule, params, interval=interval,
-                              n=fid_samples, patch=patch, ddim_steps=ddim_steps)
+    def _price(label, cached):
         mse = float(np.mean((cached - exact) ** 2))
         psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
         rel = np.sqrt(mse) / (np.sqrt(float(np.mean(exact ** 2))) + 1e-12)
         fid = fid_rp(real, cached)
         fid_vs_exact = fid_rp(exact, cached)   # direct set-to-set delta
-        results[interval] = {"psnr_db": psnr, "rel_rms": rel, "fid_rp": fid,
-                             "fid_rp_vs_exact": fid_vs_exact}
-        log(f"interval={interval}: PSNR {psnr:.1f} dB, rel-RMS {rel:.4f}, "
+        results[label] = {"psnr_db": psnr, "rel_rms": rel, "fid_rp": fid,
+                          "fid_rp_vs_exact": fid_vs_exact}
+        log(f"{label}: PSNR {psnr:.1f} dB, rel-RMS {rel:.4f}, "
             f"FID_rp {fid:.4f} (exact: {results[1]['fid_rp']:.4f}; "
             f"cached-vs-exact {fid_vs_exact:.4f}) "
             f"[trained tiny model, DDIM-{ddim_steps} CFG]")
+
+    for interval in intervals:
+        _price(interval, generate_set(model, schedule, params,
+                                      interval=interval, n=fid_samples,
+                                      patch=patch, ddim_steps=ddim_steps))
+    for label, positions in (schedules or {}).items():
+        _price(label, generate_set(model, schedule, params, n=fid_samples,
+                                   patch=patch, ddim_steps=ddim_steps,
+                                   positions=positions))
     return results
 
 
@@ -182,6 +195,11 @@ def main() -> None:
     ap.add_argument("--intervals", type=int, nargs="+", default=[2, 3, 5])
     ap.add_argument("--ddim_steps", type=int, default=50)
     ap.add_argument("--fid_samples", type=int, default=256)
+    ap.add_argument("--schedules", nargs="*", default=[],
+                    help="extra non-uniform refresh schedules to price, as "
+                         "core/cache_schedule.py specs (e.g. auto:10 quad:13 "
+                         "uniform:5); auto:R calibrates drift on the trained "
+                         "tiny model")
     args = ap.parse_args()
 
     import os
@@ -197,14 +215,47 @@ def main() -> None:
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     model = build_tiny()
     state, schedule = train_tiny(model, args.steps, log=log)
+
+    schedules = {}
+    if args.schedules:
+        from stedm_tpu.core.cache_schedule import positions_from_spec
+
+        drift = None
+        if any(s.startswith("auto") for s in args.schedules):
+            from stedm_tpu.train.calibrate import measure_cache_drift
+            from stedm_tpu.train.steps import SamplerConfig
+
+            calib_cfg = SamplerConfig(ddim_steps=args.ddim_steps, eta=0.0,
+                                      cfg_scale=1.5, rescale_phi=0.7,
+                                      batched_cfg=True, downsample=4)
+            calib_batch = {k: v for k, v in
+                           make_batch(np.random.default_rng(77)).items()
+                           if k != "image"}
+            import jax
+
+            drift = measure_cache_drift(model, schedule, calib_cfg,
+                                        state.params, calib_batch,
+                                        jax.random.PRNGKey(77))
+            log("calibrated drift profile: "
+                + " ".join(f"{d:.3f}" for d in drift))
+        from stedm_tpu.core.ddim import DDIMParams as _DP
+
+        # the uniform DDIM stride can run more steps than requested (the
+        # reference's ragged +1-shift behavior) — size the schedule to the
+        # ACTUAL step count
+        n_steps = _DP.create(schedule, args.ddim_steps, 0.0).num_steps
+        for spec in args.schedules:
+            schedules[spec] = positions_from_spec(spec, n_steps, drift)
+            log(f"schedule {spec}: refresh positions {list(schedules[spec])}")
+
     results = evaluate(model, schedule, state.params,
                        intervals=args.intervals, ddim_steps=args.ddim_steps,
-                       fid_samples=args.fid_samples)
+                       fid_samples=args.fid_samples, schedules=schedules)
     import json
 
     print(json.dumps({str(k): {m: (round(v, 4) if np.isfinite(v) else None)
                                for m, v in r.items()}
-                      for k, r in sorted(results.items())}))
+                      for k, r in sorted(results.items(), key=lambda kv: str(kv[0]))}))
 
 
 if __name__ == "__main__":
