@@ -256,7 +256,18 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
             from stedm_tpu.core.cache_schedule import validate_positions
 
             refresh_set = set(validate_positions(cfg.cache_schedule, steps))
-            block_starts = sorted(refresh_set)
+            # coalesce consecutive refresh periods into one block while the
+            # block stays within the unroll budget: fewer host dispatches (the
+            # block loop is host-latency-sensitive on remote terminals) at the
+            # price of more distinct (size, pattern) programs to compile. A
+            # single period longer than the budget becomes its own block.
+            budget = int(unroll) if unroll else 10
+            pos = sorted(refresh_set)
+            bounds = pos + [steps]
+            block_starts = [0]
+            for i in range(1, len(pos)):
+                if bounds[i + 1] - block_starts[-1] > budget:
+                    block_starts.append(pos[i])
         else:
             refresh_set = set(range(0, steps, interval))
             m = max(1, int(unroll) // interval) if unroll else 1
