@@ -126,6 +126,28 @@ def quad_center_positions(num_steps: int, n_refresh: int, center: float = 0.35,
     return validate_positions(taken, num_steps)
 
 
+def coalesce_blocks(positions, num_steps: int, budget: int) -> list[int]:
+    """Greedy host-block partition of a refresh schedule: merge consecutive
+    refresh periods into one dispatch block while the block stays within
+    ``budget`` steps. Returns the block start positions (a subset of the
+    refresh positions, always beginning at 0).
+
+    Used by the host-driven block sampler (`train/host_sampler.py`): every
+    block must START at a refresh (the in-block cache begins empty), so block
+    boundaries can only sit on refresh positions; a single period longer than
+    the budget becomes its own (oversized) block.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    pos = list(validate_positions(positions, num_steps))
+    bounds = pos + [num_steps]
+    starts = [0]
+    for i in range(1, len(pos)):
+        if bounds[i + 1] - starts[-1] > budget:
+            starts.append(pos[i])
+    return starts
+
+
 def schedule_cost(positions, drift: np.ndarray) -> float:
     """Accumulated-staleness proxy of a schedule under a drift profile.
 

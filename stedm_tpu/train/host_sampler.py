@@ -253,21 +253,16 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     steps = ddim.num_steps
     if caching:
         if cfg.cache_schedule is not None:
-            from stedm_tpu.core.cache_schedule import validate_positions
+            from stedm_tpu.core.cache_schedule import (coalesce_blocks,
+                                                       validate_positions)
 
             refresh_set = set(validate_positions(cfg.cache_schedule, steps))
             # coalesce consecutive refresh periods into one block while the
             # block stays within the unroll budget: fewer host dispatches (the
             # block loop is host-latency-sensitive on remote terminals) at the
-            # price of more distinct (size, pattern) programs to compile. A
-            # single period longer than the budget becomes its own block.
-            budget = int(unroll) if unroll else 10
-            pos = sorted(refresh_set)
-            bounds = pos + [steps]
-            block_starts = [0]
-            for i in range(1, len(pos)):
-                if bounds[i + 1] - block_starts[-1] > budget:
-                    block_starts.append(pos[i])
+            # price of more distinct (size, pattern) programs to compile
+            block_starts = coalesce_blocks(cfg.cache_schedule, steps,
+                                           int(unroll) if unroll else 10)
         else:
             refresh_set = set(range(0, steps, interval))
             m = max(1, int(unroll) // interval) if unroll else 1

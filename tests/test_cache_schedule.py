@@ -94,6 +94,29 @@ class TestPlacement:
         gaps = np.diff(list(opt) + [50])
         assert gaps.max() - gaps.min() <= 1
 
+    def test_coalesce_blocks_respects_budget(self):
+        from stedm_tpu.core.cache_schedule import coalesce_blocks
+
+        pos = (0, 5, 10, 14, 18, 22, 27, 32, 37, 43)
+        starts = coalesce_blocks(pos, 50, budget=10)
+        assert starts[0] == 0 and set(starts) <= set(pos)
+        sizes = np.diff(list(starts) + [50])
+        assert sizes.max() <= 10 and sizes.sum() == 50
+        # coalescing actually merges periods (fewer dispatches than refreshes)
+        assert len(starts) < len(pos)
+
+    def test_coalesce_blocks_edge_cases(self):
+        from stedm_tpu.core.cache_schedule import coalesce_blocks
+
+        # budget 1: every period its own block
+        assert coalesce_blocks((0, 2, 5), 8, 1) == [0, 2, 5]
+        # budget >= num_steps: one block
+        assert coalesce_blocks((0, 2, 5), 8, 8) == [0]
+        # a period longer than the budget becomes its own oversized block
+        assert coalesce_blocks((0, 1, 9), 12, 3) == [0, 1, 9]
+        with pytest.raises(ValueError):
+            coalesce_blocks((0, 2), 8, 0)
+
 
 @pytest.fixture(scope="module")
 def tiny():
