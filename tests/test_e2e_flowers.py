@@ -156,6 +156,17 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     arr = np.array(Image.open(canvas_imgs[0]))
     assert arr.shape == (64, 64, 3)
 
+    # non-uniform serving mode through the CLI: +cache_schedule=auto:R
+    # calibrates refresh placement on the first predict batch (one exact drift
+    # -measuring trajectory, train/calibrate.py) and samples with the
+    # scheduled deep-feature cache (core/cache_schedule.py)
+    pd.main(overrides + [
+        "data.samples=1", "ddim_steps=4", "cfg_scale=1.5",
+        "+cache_schedule=auto:2", "+predict_name=flowers_sched",
+    ])
+    sched_dir = flowers_dir / "syn_data" / "flowers_sched"
+    assert len(list(sched_dir.glob("img_*.png"))) >= 2
+
     # generated pairs round-trip through the syn data module
     from stedm_tpu.config import compose
     from stedm_tpu.data.dm import DataModule
