@@ -50,6 +50,11 @@ CACHE_LEVELS = int(os.environ.get("STEDM_BENCH_LEVELS", 1))
 # "uniform:5", "0,3,8,...", or "auto:R" to calibrate drift on this model);
 # empty = uniform every CACHE_INTERVAL steps
 CACHE_SCHEDULE = os.environ.get("STEDM_BENCH_SCHEDULE", "")
+# guidance interval (arXiv 2404.07724, core/ddim.py:ddim_sample_guided), e.g.
+# "0:0.6": CFG only on that fraction of the trajectory; outside it the uncond
+# half of the shared-encoder fan-out is skipped. Empty = guide every step
+# (the reference behavior). Composes with the cache knobs above.
+CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "")
 # host-sampler steps per dispatched block. Swept on-chip (2026-08-17):
 # unroll 10 / batch 8 won — exact 7.97 img/s, serving 18.05 (unroll 5:
 # 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
@@ -135,6 +140,12 @@ def main() -> None:
                 f"_refreshes_{len(pos)}")
     elif CACHE_INTERVAL <= 1:
         mode = "exact"
+    if CFG_INTERVAL:
+        # applies to the SERVING config only — `exact_value` stays the
+        # reference-equivalent trajectory (guidance on every step)
+        lo_s, _, hi_s = CFG_INTERVAL.partition(":")
+        serving = dict(serving, cfg_interval=(float(lo_s), float(hi_s)))
+        mode += f"_cfgint_{lo_s}_{hi_s}"
     if host_loop_default() and os.environ.get("STEDM_BENCH_SCAN", "") in (
             "", "0", "false", "False"):
         # host-driven block sampler (stedm_tpu/train/host_sampler.py): same

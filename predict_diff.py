@@ -120,6 +120,26 @@ def main(argv: list[str]) -> None:
         # exact reference trajectory
         cache_interval=int(cfg.get("cache_interval", 1)),
         cache_levels=int(cfg.get("cache_levels", 1)))
+    # guidance interval (arXiv 2404.07724): `+cfg_interval=[0.0,0.6]` applies
+    # CFG only on that fraction of the trajectory (scan order); outside it only
+    # the cond branch evaluates — a serving-mode FLOP lever priced like the
+    # cache knobs (BASELINE.md). Default: guide every step (the reference
+    # behavior, reference ddim.py:177-184). NOTE: a bare `lo:hi` is YAML
+    # sexagesimal and parses as a single float — use the [lo,hi] list form.
+    ci = cfg.get("cfg_interval", None)
+    if ci is not None:
+        import dataclasses as _dc0
+
+        if isinstance(ci, str):
+            lo_s, _, hi_s = ci.partition(":")
+            ci = (float(lo_s), float(hi_s))
+        elif isinstance(ci, (int, float)):
+            raise SystemExit(
+                f"+cfg_interval={ci!r}: pass the interval as a [lo,hi] list "
+                "(a bare lo:hi parses as one YAML sexagesimal number)")
+        else:
+            ci = tuple(float(v) for v in ci)
+        sampler_cfg = _dc0.replace(sampler_cfg, cfg_interval=ci)
     # non-uniform serving mode: `+cache_schedule=` takes explicit positions
     # ("0,3,7,..."), "uniform:N", "quad:R[:center[:power]]", or "auto:R" —
     # auto calibrates the refresh placement on the first predict batch (one

@@ -144,6 +144,80 @@ def ddim_sample(eps_fn: Callable, x_T: jnp.ndarray, params: DDIMParams, *,
     return x_0
 
 
+def guided_range(num_steps: int, cfg_interval) -> tuple[int, int]:
+    """Resolve a (lo_frac, hi_frac) guidance interval to scan positions.
+
+    Positions are scan order (0 = highest-noise step); guidance applies on
+    steps ``lo <= k < hi``. ``None`` (or full coverage) means every step is
+    guided — the caller should treat that as "no interval" to keep the
+    unrestricted program bit-identical.
+    """
+    if cfg_interval is None:
+        return 0, num_steps
+    lo_f, hi_f = float(cfg_interval[0]), float(cfg_interval[1])
+    if not 0.0 <= lo_f <= hi_f <= 1.0:
+        raise ValueError(f"cfg_interval must satisfy 0 <= lo <= hi <= 1, "
+                         f"got {cfg_interval}")
+    lo = int(round(lo_f * num_steps))
+    hi = int(round(hi_f * num_steps))
+    return max(0, min(lo, num_steps)), max(lo, min(hi, num_steps))
+
+
+def ddim_sample_guided(eps_fn: Callable, eps_cond_fn: Callable, x_T: jnp.ndarray,
+                       params: DDIMParams, *, guided_lo: int, guided_hi: int,
+                       cfg_scale: float, rescale_phi: float = 0.7,
+                       rng: jax.Array | None = None,
+                       temperature: float = 1.0) -> jnp.ndarray:
+    """Exact DDIM with classifier-free guidance restricted to an interval.
+
+    Serving-mode FLOP lever with no reference counterpart (the reference
+    guides every step, reference ddim.py:177-184): guidance is applied only on
+    scan positions ``[guided_lo, guided_hi)`` — "Applying Guidance in a
+    Limited Interval Improves Sample and Distribution Quality" (Kynkäänniemi
+    et al. 2024, arXiv 2404.07724). Outside the interval only the conditional
+    branch evaluates (``eps_cond_fn(x, t) -> eps``), skipping the uncond half
+    of the fan-out. The trajectory is three chained `lax.scan` segments so
+    each segment's program has a static shape; the per-step key sequence is
+    shared with `ddim_sample` (key k = scan position k), so full coverage is
+    bit-identical to the unrestricted sampler.
+    """
+    steps = params.num_steps
+    batch = x_T.shape[0]
+    stochastic = rng is not None
+    step_keys = (jax.random.split(rng, steps) if stochastic
+                 else jnp.zeros((steps, 2), dtype=jnp.uint32))
+
+    order = jnp.arange(steps - 1, -1, -1)
+    consts = (params.timesteps[order], params.alphas[order],
+              params.alphas_prev[order], params.sigmas[order],
+              params.sqrt_one_minus_alphas[order], step_keys)
+
+    def seg(x, lo, hi, guided):
+        if hi <= lo:
+            return x
+        xs = tuple(c[lo:hi] for c in consts)
+
+        def body(x, per_step):
+            step_t, a_t, a_prev, sigma_t, sq1m, key = per_step
+            ts = jnp.full((batch,), step_t, dtype=jnp.int32)
+            if guided:
+                out = eps_fn(x, ts)
+                e_t = rescaled_cfg(out[0], out[1], cfg_scale, rescale_phi)
+            else:
+                e_t = eps_cond_fn(x, ts).astype(jnp.float32)
+            noise = (jax.random.normal(key, x.shape, dtype=jnp.float32)
+                     if stochastic else None)
+            return ddim_step(x, e_t, a_t, a_prev, sigma_t, sq1m, noise=noise,
+                             temperature=temperature)[0], ()
+
+        return jax.lax.scan(body, x, xs)[0]
+
+    x = x_T.astype(jnp.float32)
+    x = seg(x, 0, guided_lo, False)
+    x = seg(x, guided_lo, guided_hi, True)
+    return seg(x, guided_hi, steps, False)
+
+
 def ddim_sample_scheduled(eps_full_fn: Callable, eps_cached_fn: Callable,
                           x_T: jnp.ndarray, params: DDIMParams, *,
                           refresh_positions, cfg_scale: float = 1.0,

@@ -117,6 +117,23 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
     ddim = DDIMParams.create(schedule, cfg.ddim_steps, cfg.eta)
     use_cfg = cfg.use_cfg and cfg.cfg_scale != 1.0
+    # guidance interval (arXiv 2404.07724, core/ddim.py:ddim_sample_guided):
+    # CFG applies only on scan positions [glo, ghi); outside, the uncond half
+    # of the fan-out is skipped (cond-only evaluation at batch B). Full
+    # coverage degenerates to None so the unrestricted programs stay
+    # bit-identical.
+    from stedm_tpu.core.ddim import guided_range
+
+    glo, ghi = guided_range(ddim.num_steps, cfg.cfg_interval)
+    cfg_interval = ((glo, ghi)
+                    if use_cfg and cfg.cfg_interval is not None
+                    and (glo > 0 or ghi < ddim.num_steps) else None)
+    if cfg_interval is not None and cfg.method != "ddim":
+        raise ValueError("cfg_interval is only supported for method='ddim'")
+    guided = np.ones(ddim.num_steps, bool)
+    if cfg_interval is not None:
+        guided[:] = False
+        guided[glo:ghi] = True
     interval = int(cfg.cache_interval)
     scale = cfg.cfg_scale if use_cfg else 1.0
     bottleneck_only = (not model.unet_config.get("use_spatial_transformer", False)
@@ -177,11 +194,19 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         e_u = model.apply(var, x, ts, seg_cond, ctx[b:], method=model.eps)
         return e_c, e_u
 
-    def update(x, out, a_t, a_prev, sigma_t, sq1m, key):
-        if use_cfg:
+    def eps_cond(var, x, ts, seg_cond, ctx):
+        """Cond-only evaluation for unguided steps (batch B; skips the uncond
+        half of the shared-encoder fan-out). ``ctx`` is the [2B] cond/uncond
+        concat under CFG — row slice [:B] is the conditional style context."""
+        b = x.shape[0]
+        return model.apply(var, x, ts, seg_cond, ctx[:b] if use_cfg else ctx,
+                           method=model.eps)
+
+    def update(x, out, a_t, a_prev, sigma_t, sq1m, key, g=True):
+        if use_cfg and g:
             e_t = rescaled_cfg(out[0], out[1], scale, cfg.rescale_phi)
         else:
-            e_t = out
+            e_t = out.astype(jnp.float32)
         noise = (jax.random.normal(key, x.shape, dtype=jnp.float32)
                  if stochastic else None)
         x_prev, _ = ddim_step(x, e_t, a_t, a_prev, sigma_t, sq1m, noise=noise)
@@ -216,6 +241,9 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                 from stedm_tpu.train.steps import check_tiled_supported
 
                 check_tiled_supported(model, cfg, use_cfg)
+                if cfg_interval is not None:
+                    raise ValueError("cfg_interval is not supported on the "
+                                     "tiled canvas path")
             seg_cond, ctx = prep(var, batch)
             rng_steps = None
             if stochastic:  # same split as make_sample_fn's stochastic branch
@@ -252,19 +280,25 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     # dividing the step count to avoid compiling a tail-size program.
     steps = ddim.num_steps
     if caching:
-        if cfg.cache_schedule is not None:
-            from stedm_tpu.core.cache_schedule import (coalesce_blocks,
-                                                       validate_positions)
+        from stedm_tpu.core.cache_schedule import (coalesce_blocks,
+                                                   validate_positions)
 
-            refresh_set = set(validate_positions(cfg.cache_schedule, steps))
+        # a guided shallow step must reuse a cache that carries the cond/uncond
+        # fan-out, so the guidance interval's entry step is forced to refresh
+        # (its governing refresh is then itself guided)
+        forced = ({glo} if cfg_interval is not None and ghi > glo
+                  and glo < steps else set())
+        if cfg.cache_schedule is not None:
+            refresh_set = (set(validate_positions(cfg.cache_schedule, steps))
+                           | forced)
             # coalesce consecutive refresh periods into one block while the
             # block stays within the unroll budget: fewer host dispatches (the
             # block loop is host-latency-sensitive on remote terminals) at the
             # price of more distinct (size, pattern) programs to compile
-            block_starts = coalesce_blocks(cfg.cache_schedule, steps,
+            block_starts = coalesce_blocks(sorted(refresh_set), steps,
                                            int(unroll) if unroll else 10)
         else:
-            refresh_set = set(range(0, steps, interval))
+            refresh_set = set(range(0, steps, interval)) | forced
             m = max(1, int(unroll) // interval) if unroll else 1
             block_starts = list(range(0, steps, interval * m))
         sizes = [b2 - b1 for b1, b2 in
@@ -274,40 +308,69 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         for k in sizes:
             patterns.append(tuple((s0 + j) in refresh_set for j in range(k)))
             s0 += k
+        # invariant behind the static cache-rows tracking in the block bodies:
+        # every guided shallow step's governing refresh is itself guided
+        gov = 0
+        for k in range(steps):
+            gov = k if k in refresh_set else gov
+            assert not (guided[k] and not guided[gov]), (k, gov)
     else:
         sizes = _partition(steps, _default_unroll(steps))
         patterns = [None] * len(sizes)
+    gpatterns = []
+    s0 = 0
+    for k in sizes:
+        gpatterns.append(tuple(bool(guided[s0 + j]) for j in range(k)))
+        s0 += k
 
-    def _make_block(k: int, pattern: tuple[bool, ...] | None):
+    def _make_block(k: int, pattern: tuple[bool, ...] | None,
+                    gpat: tuple[bool, ...]):
         def fn(var, x, seg_cond, ctx, tb, ab, apb, sgb, sqb, keys):
             b = x.shape[0]
             cache = None
+            cache_guided = False  # static: does the live cache carry the 2B fan-out?
             for j in range(k):  # static unroll
                 ts = jnp.full((b,), tb[j], dtype=jnp.int32)
                 key = keys[j] if stochastic else keys
+                g = gpat[j]
                 if pattern is not None and pattern[j]:
-                    if use_cfg:  # shared-encoder fan-out (ctor-checked)
+                    if use_cfg and g:  # shared-encoder fan-out (ctor-checked)
                         e, cache = model.apply(var, x, ts, seg_cond, ctx,
                                                cfg.cache_levels,
                                                method=model.eps_full)
                         out = (e[:b], e[b:])
+                        cache_guided = True
                     else:
-                        out, cache = model.apply(var, x, ts, seg_cond, ctx,
+                        ctx_c = ctx[:b] if use_cfg else ctx
+                        out, cache = model.apply(var, x, ts, seg_cond, ctx_c,
                                                  cfg.cache_levels,
                                                  method=model.eps_full)
+                        cache_guided = False
                 elif pattern is not None:
-                    e = model.apply(var, x, ts, seg_cond, cache,
-                                    cfg.cache_levels, method=model.eps_cached)
-                    out = (e[:b], e[b:]) if use_cfg else e
-                else:
+                    if use_cfg and g:
+                        # construction guarantees the governing refresh was
+                        # guided, so the cache already carries the 2B fan-out
+                        e = model.apply(var, x, ts, seg_cond, cache,
+                                        cfg.cache_levels,
+                                        method=model.eps_cached)
+                        out = (e[:b], e[b:])
+                    else:
+                        c = (jax.tree_util.tree_map(lambda a: a[:b], cache)
+                             if cache_guided else cache)
+                        out = model.apply(var, x, ts, seg_cond, c,
+                                          cfg.cache_levels,
+                                          method=model.eps_cached)
+                elif not use_cfg or g:
                     out = eps_pair(var, x, ts, seg_cond, ctx)
-                x = update(x, out, ab[j], apb[j], sgb[j], sqb[j], key)
+                else:
+                    out = eps_cond(var, x, ts, seg_cond, ctx)
+                x = update(x, out, ab[j], apb[j], sgb[j], sqb[j], key, g)
             return x
         return jax.jit(fn, donate_argnums=(1,))
 
     block_fns = {}
-    for k, pat in zip(sizes, patterns):
-        block_fns.setdefault((k, pat), _make_block(k, pat))
+    for k, pat, gpat in zip(sizes, patterns, gpatterns):
+        block_fns.setdefault((k, pat, gpat), _make_block(k, pat, gpat))
     # per-block step constants as device-resident [k] arrays, built once
     block_consts = []
     start = 0
@@ -320,9 +383,9 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         # same key sequence as ddim_sample's step_keys (index 0 = highest noise)
         step_keys = jax.random.split(rng, steps) if stochastic else None
         i = 0
-        for k, pat, cb in zip(sizes, patterns, block_consts):
+        for k, pat, gpat, cb in zip(sizes, patterns, gpatterns, block_consts):
             keys = step_keys[i:i + k] if stochastic else rng
-            x = block_fns[(k, pat)](var, x, seg_cond, ctx, *cb, keys)
+            x = block_fns[(k, pat, gpat)](var, x, seg_cond, ctx, *cb, keys)
             i += k
         return x
 

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from stedm_tpu.core.ddim import DDIMParams, ddim_sample, ddim_sample_cached
+from stedm_tpu.core.ddim import (DDIMParams, ddim_sample, ddim_sample_cached,
+                                 guided_range)
 from stedm_tpu.core.diffusion import p_losses
 from stedm_tpu.core.schedules import DiffusionSchedule
 from stedm_tpu.models.stedm import STEDM
@@ -158,6 +159,10 @@ class SamplerConfig:
                                   # include 0) — non-uniform serving mode; see
                                   # core/cache_schedule.py. Mutually exclusive
                                   # with cache_interval > 1.
+    cfg_interval: tuple = None    # (lo_frac, hi_frac): apply CFG only on scan
+                                  # positions [lo*S, hi*S) (arXiv 2404.07724);
+                                  # outside, only the cond branch evaluates.
+                                  # None = guide every step (reference behavior).
     tile_stride_frac: float = 0.75  # latent tile stride (fraction of the latent
                                     # patch) for canvases larger than the patch
 
@@ -273,6 +278,15 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     if stochastic and cfg.method != "ddim":
         raise ValueError(f"eta={cfg.eta} requires method='ddim' (the reference's "
                          f"PLMS asserts ddim_eta == 0 and DPM-Solver ignores eta)")
+    # guidance interval (arXiv 2404.07724): resolve fractions to scan positions;
+    # full coverage degenerates to None so the unrestricted program (and its
+    # bit-exact trajectory) is untouched
+    glo, ghi = guided_range(ddim.num_steps, cfg.cfg_interval)
+    cfg_interval = ((glo, ghi)
+                    if use_cfg and cfg.cfg_interval is not None
+                    and (glo > 0 or ghi < ddim.num_steps) else None)
+    if cfg_interval is not None and cfg.method != "ddim":
+        raise ValueError("cfg_interval is only supported for method='ddim'")
 
     def sample(params, batch: dict, rng: jax.Array) -> jnp.ndarray:
         # the logvar buffer (when trained) is a loss-only param group
@@ -290,6 +304,9 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
         tiled = p > model.patch_size
         if tiled:
+            if cfg_interval is not None:
+                raise ValueError("cfg_interval is not supported on the tiled "
+                                 "canvas path")
             return _sample_tiled(model, cfg, ddim, var, seg_cond, style_c, batch,
                                  x_T, use_cfg, b, rng_steps)
 
@@ -327,7 +344,18 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                     return e_c, e_u
 
         scale = cfg.cfg_scale if use_cfg else 1.0
+        if cfg_interval is not None:
+            # cond-only evaluation for the unguided segments: batch-b, shared
+            # seg conditioning, conditional style context only
+            def eps_cond_fn(x, t):
+                return model.apply(var, x, t, seg_cond, style_c,
+                                   method=model.eps)
         if cfg.cache_interval > 1 or cfg.cache_schedule is not None:
+            if cfg_interval is not None:
+                raise NotImplementedError(
+                    "cfg_interval with deep-feature caching is only supported "
+                    "by the host-driven sampler (train/host_sampler.py); the "
+                    "scanned cached programs guide every step")
             if cfg.cache_interval > 1 and cfg.cache_schedule is not None:
                 raise ValueError("cache_interval > 1 and cache_schedule are "
                                  "mutually exclusive refresh placements")
@@ -382,6 +410,13 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
             z_0 = dpm_solver_pp_sample(eps_fn, x_T, schedule, cfg.ddim_steps,
                                        cfg_scale=scale, rescale_phi=cfg.rescale_phi)
+        elif cfg_interval is not None:
+            from stedm_tpu.core.ddim import ddim_sample_guided
+
+            z_0 = ddim_sample_guided(eps_fn, eps_cond_fn, x_T, ddim,
+                                     guided_lo=cfg_interval[0],
+                                     guided_hi=cfg_interval[1], cfg_scale=scale,
+                                     rescale_phi=cfg.rescale_phi, rng=rng_steps)
         else:
             z_0 = ddim_sample(eps_fn, x_T, ddim, cfg_scale=scale,
                               rescale_phi=cfg.rescale_phi, rng=rng_steps)

@@ -123,7 +123,10 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     events = result_dir / run_name / "events.jsonl"
     assert events.is_file() and "Train Loss" in events.read_text()
 
-    pd.main(overrides + ["data.samples=1", "ddim_steps=4", "cfg_scale=1.5"])
+    # +cfg_interval restricts guidance to a window of the trajectory
+    # (arXiv 2404.07724; cond-only evaluation outside it)
+    pd.main(overrides + ["data.samples=1", "ddim_steps=4", "cfg_scale=1.5",
+                         "+cfg_interval=[0,0.6]"])
 
     syn_dir = flowers_dir / "syn_data" / "flowers"
     imgs = sorted(syn_dir.glob("img_*.png"))

@@ -99,11 +99,13 @@ def train_tiny(model, steps: int, patch: int = 32, log=print):
 
 def generate_set(model, schedule, params, *, interval: int = 1, n: int,
                  patch: int = 32, ddim_steps: int = 50, batch: int = 8,
-                 seed: int = 1000, positions=None) -> np.ndarray:
+                 seed: int = 1000, positions=None,
+                 cfg_interval=None) -> np.ndarray:
     """n sampled images in [-1,1] float32, fresh held-out layouts per batch.
     Same layout/noise seeds across intervals so per-pixel deltas are paired.
     ``positions`` (refresh schedule, core/cache_schedule.py) overrides
-    ``interval`` for non-uniform serving-mode placement."""
+    ``interval`` for non-uniform serving-mode placement; ``cfg_interval``
+    restricts guidance to a (lo_frac, hi_frac) window (arXiv 2404.07724)."""
     import jax
 
     from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
@@ -112,8 +114,17 @@ def generate_set(model, schedule, params, *, interval: int = 1, n: int,
                         rescale_phi=0.7, batched_cfg=True, downsample=4,
                         cache_interval=1 if positions is not None else interval,
                         cache_schedule=(tuple(positions)
-                                        if positions is not None else None))
-    fn = jax.jit(make_sample_fn(model, schedule, cfg))
+                                        if positions is not None else None),
+                        cfg_interval=cfg_interval)
+    if cfg_interval is not None and (cfg.cache_interval > 1
+                                     or positions is not None):
+        # the scanned cached programs guide every step; the combined mode runs
+        # through the host-driven block sampler (already jitted piecewise)
+        from stedm_tpu.train.host_sampler import make_host_sample_fn
+
+        fn = make_host_sample_fn(model, schedule, cfg)
+    else:
+        fn = jax.jit(make_sample_fn(model, schedule, cfg))
     out = []
     for bi in range(-(-n // batch)):
         layouts = make_batch(np.random.default_rng(seed + bi), patch, batch)
@@ -148,7 +159,8 @@ def fid_rp(a: np.ndarray, b: np.ndarray, patch: int = 64,
 
 def evaluate(model, schedule, params, *, intervals, patch: int = 32,
              ddim_steps: int = 50, fid_samples: int = 256,
-             schedules: dict | None = None, log=print) -> dict:
+             schedules: dict | None = None, cfg_intervals=None,
+             log=print) -> dict:
     """Per-interval quality table vs the exact trajectory: paired PSNR/rel-RMS
     plus set-level FID_rp against the real distribution (interval 1 = exact).
     ``schedules`` maps extra labels to explicit refresh-position tuples
@@ -186,6 +198,16 @@ def evaluate(model, schedule, params, *, intervals, patch: int = 32,
         _price(label, generate_set(model, schedule, params, n=fid_samples,
                                    patch=patch, ddim_steps=ddim_steps,
                                    positions=positions))
+    for lo, hi in (cfg_intervals or []):
+        # (a) guidance interval alone (exact cache) and (b) composed with the
+        # serving default cache_interval=3 — both priced like the cache knobs
+        _price(f"cfgint {lo}:{hi}",
+               generate_set(model, schedule, params, n=fid_samples, patch=patch,
+                            ddim_steps=ddim_steps, cfg_interval=(lo, hi)))
+        _price(f"cfgint {lo}:{hi} + interval 3",
+               generate_set(model, schedule, params, n=fid_samples, patch=patch,
+                            ddim_steps=ddim_steps, interval=3,
+                            cfg_interval=(lo, hi)))
     return results
 
 
@@ -195,6 +217,10 @@ def main() -> None:
     ap.add_argument("--intervals", type=int, nargs="+", default=[2, 3, 5])
     ap.add_argument("--ddim_steps", type=int, default=50)
     ap.add_argument("--fid_samples", type=int, default=256)
+    ap.add_argument("--cfg_intervals", nargs="*", default=[],
+                    help="guidance intervals to price as LO:HI fractions "
+                         "(arXiv 2404.07724), each alone and composed with "
+                         "cache_interval=3 (e.g. 0:0.6 0.1:0.7)")
     ap.add_argument("--schedules", nargs="*", default=[],
                     help="extra non-uniform refresh schedules to price, as "
                          "core/cache_schedule.py specs (e.g. auto:10 quad:13 "
@@ -248,9 +274,11 @@ def main() -> None:
             schedules[spec] = positions_from_spec(spec, n_steps, drift)
             log(f"schedule {spec}: refresh positions {list(schedules[spec])}")
 
+    cfg_is = [tuple(float(v) for v in spec.split(":")) for spec in args.cfg_intervals]
     results = evaluate(model, schedule, state.params,
                        intervals=args.intervals, ddim_steps=args.ddim_steps,
-                       fid_samples=args.fid_samples, schedules=schedules)
+                       fid_samples=args.fid_samples, schedules=schedules,
+                       cfg_intervals=cfg_is)
     import json
 
     print(json.dumps({str(k): {m: (round(v, 4) if np.isfinite(v) else None)
