@@ -300,6 +300,114 @@ def ddim_sample_scheduled(eps_full_fn: Callable, eps_cached_fn: Callable,
     return x_0
 
 
+def ddim_sample_scheduled_guided(eps_full_fn: Callable, eps_cached_fn: Callable,
+                                 eps_full_cond_fn: Callable,
+                                 eps_cached_cond_fn: Callable,
+                                 x_T: jnp.ndarray, params: DDIMParams, *,
+                                 refresh_positions, guided_lo: int,
+                                 guided_hi: int, cfg_scale: float,
+                                 rescale_phi: float = 0.7,
+                                 rng: jax.Array | None = None,
+                                 temperature: float = 1.0) -> jnp.ndarray:
+    """Scheduled deep-feature reuse COMPOSED with a guidance interval — the
+    scanned twin of the host-block drive's combined serving mode.
+
+    Guidance applies on scan positions ``[guided_lo, guided_hi)``
+    (`ddim_sample_guided`); the trunk cache refreshes on ``refresh_positions``
+    (`ddim_sample_scheduled`). Guided steps use ``eps_full_fn``/``eps_cached_fn``
+    (2B cond/uncond fan-out); unguided steps use the ``*_cond_fn`` twins at
+    batch B. The trajectory runs as up to three segment scans with static
+    shapes: the guidance entry step is forced to refresh (so guided shallow
+    steps always see a fan-out cache), and on exit the cache's cond rows are
+    sliced once at the segment boundary. Equal to the host-block combined mode
+    (tests/test_cfg_interval.py) and, at full coverage, to
+    `ddim_sample_scheduled`.
+    """
+    from stedm_tpu.core.cache_schedule import validate_positions
+
+    steps = params.num_steps
+    batch = x_T.shape[0]
+    glo, ghi = int(guided_lo), int(guided_hi)
+    pos = set(validate_positions(refresh_positions, steps))
+    if ghi > glo and glo < steps:
+        pos.add(glo)          # same forced refresh as the host drive
+    refresh = np.zeros(steps, bool)
+    refresh[sorted(pos)] = True
+
+    stochastic = rng is not None
+    step_keys = (jax.random.split(rng, steps) if stochastic
+                 else jnp.zeros((steps, 2), dtype=jnp.uint32))
+    order = jnp.arange(steps - 1, -1, -1)
+    consts = (params.timesteps[order], params.alphas[order],
+              params.alphas_prev[order], params.sigmas[order],
+              params.sqrt_one_minus_alphas[order], step_keys)
+
+    def update(x, out, a_t, a_prev, sigma_t, sq1m, key, g):
+        if g:
+            e_t = rescaled_cfg(out[0], out[1], cfg_scale, rescale_phi)
+        else:
+            e_t = out.astype(jnp.float32)
+        noise = (jax.random.normal(key, x.shape, dtype=jnp.float32)
+                 if stochastic else None)
+        return ddim_step(x, e_t, a_t, a_prev, sigma_t, sq1m, noise=noise,
+                         temperature=temperature)[0]
+
+    def run_segment(x, cache, lo, hi, g):
+        """Scan steps [lo, hi) with static guidance g; `cache` is the carry
+        entering the segment (None only when refresh[lo])."""
+        if hi <= lo:
+            return x, cache
+        full = eps_full_fn if g else eps_full_cond_fn
+        shal = eps_cached_fn if g else eps_cached_cond_fn
+        i = lo
+        if cache is None:
+            # materialize the carry pytree at the segment's leading refresh
+            assert refresh[lo], (lo, "segment must start on a refresh when no "
+                                     "carry cache enters it")
+            ts0 = jnp.full((batch,), consts[0][lo], dtype=jnp.int32)
+            out, cache = full(x, ts0)
+            x = update(x, out, consts[1][lo], consts[2][lo], consts[3][lo],
+                       consts[4][lo], step_keys[lo], g)
+            i = lo + 1
+        if i >= hi:
+            return x, cache
+        xs = tuple(c[i:hi] for c in consts) + (jnp.asarray(refresh[i:hi]),)
+
+        def body(carry, per_step):
+            x, cache = carry
+            step_t, a_t, a_prev, sigma_t, sq1m, key, is_refresh = per_step
+            ts = jnp.full((batch,), step_t, dtype=jnp.int32)
+
+            def full_branch(x, ts, cache):
+                return full(x, ts)
+
+            def cached_branch(x, ts, cache):
+                return shal(x, ts, cache), cache
+
+            out, cache = jax.lax.cond(is_refresh, full_branch, cached_branch,
+                                      x, ts, cache)
+            x = update(x, out, a_t, a_prev, sigma_t, sq1m, key, g)
+            return (x, cache), ()
+
+        (x, cache), _ = jax.lax.scan(body, (x, cache), xs)
+        return x, cache
+
+    x = x_T.astype(jnp.float32)
+    if ghi <= glo or glo >= steps:          # empty guided window: one segment
+        x, _ = run_segment(x, None, 0, steps, False)
+        return x
+    if glo > 0:
+        x, _ = run_segment(x, None, 0, glo, False)
+    # entering the guided window: position glo is a forced refresh, so the
+    # guided segment materializes its own fan-out cache (no carry crosses in)
+    x, cache = run_segment(x, None, glo, ghi, True)
+    if ghi < steps:
+        # exiting: unguided steps consume only the cond rows of the fan-out
+        cache_b = jax.tree_util.tree_map(lambda a: a[:batch], cache)
+        x, _ = run_segment(x, cache_b, ghi, steps, False)
+    return x
+
+
 def ddim_sample_cached(eps_full_fn: Callable, eps_cached_fn: Callable,
                        x_T: jnp.ndarray, params: DDIMParams, *,
                        cache_interval: int, cfg_scale: float = 1.0,

@@ -351,11 +351,6 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                 return model.apply(var, x, t, seg_cond, style_c,
                                    method=model.eps)
         if cfg.cache_interval > 1 or cfg.cache_schedule is not None:
-            if cfg_interval is not None:
-                raise NotImplementedError(
-                    "cfg_interval with deep-feature caching is only supported "
-                    "by the host-driven sampler (train/host_sampler.py); the "
-                    "scanned cached programs guide every step")
             if cfg.cache_interval > 1 and cfg.cache_schedule is not None:
                 raise ValueError("cache_interval > 1 and cache_schedule are "
                                  "mutually exclusive refresh placements")
@@ -387,7 +382,32 @@ def make_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                     return model.apply(var, x, t, seg_cond, cache,
                                        cfg.cache_levels, method=model.eps_cached)
 
-            if cfg.cache_schedule is not None:
+            if cfg_interval is not None:
+                # combined serving mode: trunk cache + guidance interval.
+                # Unguided steps evaluate the cond branch only at batch B —
+                # full/cached twins without the CFG pair split.
+                from stedm_tpu.core.ddim import ddim_sample_scheduled_guided
+
+                def eps_full_cond_fn(x, t):
+                    return model.apply(var, x, t, seg_cond, style_c,
+                                       cfg.cache_levels, method=model.eps_full)
+
+                def eps_cached_cond_fn(x, t, cache):
+                    return model.apply(var, x, t, seg_cond, cache,
+                                       cfg.cache_levels,
+                                       method=model.eps_cached)
+
+                positions = (cfg.cache_schedule
+                             if cfg.cache_schedule is not None
+                             else tuple(range(0, ddim.num_steps,
+                                              cfg.cache_interval)))
+                z_0 = ddim_sample_scheduled_guided(
+                    eps_full_fn, eps_cached_fn, eps_full_cond_fn,
+                    eps_cached_cond_fn, x_T, ddim,
+                    refresh_positions=positions, guided_lo=cfg_interval[0],
+                    guided_hi=cfg_interval[1], cfg_scale=scale,
+                    rescale_phi=cfg.rescale_phi, rng=rng_steps)
+            elif cfg.cache_schedule is not None:
                 from stedm_tpu.core.ddim import ddim_sample_scheduled
 
                 z_0 = ddim_sample_scheduled(

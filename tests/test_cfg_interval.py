@@ -211,16 +211,19 @@ class TestExact:
 class TestCached:
     @pytest.mark.parametrize("serving", [dict(cache_interval=3),
                                          dict(cache_schedule=(0, 2, 5, 6, 10))])
-    def test_host_matches_manual_reference(self, tiny, serving):
+    def test_host_and_scan_match_manual_reference(self, tiny, serving):
         from stedm_tpu.train.host_sampler import make_host_sample_fn
-        from stedm_tpu.train.steps import SamplerConfig
+        from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
 
         model, schedule, params, batch = tiny
         cfg = SamplerConfig(cfg_interval=(0.2, 0.7), **serving, **BASE)
         rng = jax.random.PRNGKey(7)
         host = make_host_sample_fn(model, schedule, cfg)(params, batch, rng)
+        scan = jax.jit(make_sample_fn(model, schedule, cfg))(params, batch, rng)
         ref = manual_sample(model, schedule, cfg, params, batch, rng)
         np.testing.assert_allclose(np.asarray(host), np.asarray(ref),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(scan), np.asarray(ref),
                                    atol=1e-3)
 
     def test_full_coverage_cached_is_identity(self, tiny):
@@ -240,14 +243,20 @@ class TestCached:
 
 
 class TestValidation:
-    def test_scan_cached_with_interval_raises(self, tiny):
+    def test_boundary_windows_run(self, tiny):
+        """Guided window touching either trajectory end (no entry or no exit
+        segment) still runs through the combined scan."""
         from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
 
         model, schedule, params, batch = tiny
-        cfg = SamplerConfig(cache_interval=3, cfg_interval=(0.2, 0.7), **BASE)
-        with pytest.raises(NotImplementedError):
-            make_sample_fn(model, schedule, cfg)(params, batch,
-                                                 jax.random.PRNGKey(0))
+        for window in ((0.0, 0.5), (0.5, 1.0)):
+            cfg = SamplerConfig(cache_interval=3, cfg_interval=window, **BASE)
+            out = jax.jit(make_sample_fn(model, schedule, cfg))(
+                params, batch, jax.random.PRNGKey(9))
+            ref = manual_sample(model, schedule, cfg, params, batch,
+                                jax.random.PRNGKey(9))
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-3)
 
     def test_non_ddim_raises(self, tiny):
         from stedm_tpu.train.host_sampler import make_host_sample_fn

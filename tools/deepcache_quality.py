@@ -116,15 +116,7 @@ def generate_set(model, schedule, params, *, interval: int = 1, n: int,
                         cache_schedule=(tuple(positions)
                                         if positions is not None else None),
                         cfg_interval=cfg_interval)
-    if cfg_interval is not None and (cfg.cache_interval > 1
-                                     or positions is not None):
-        # the scanned cached programs guide every step; the combined mode runs
-        # through the host-driven block sampler (already jitted piecewise)
-        from stedm_tpu.train.host_sampler import make_host_sample_fn
-
-        fn = make_host_sample_fn(model, schedule, cfg)
-    else:
-        fn = jax.jit(make_sample_fn(model, schedule, cfg))
+    fn = jax.jit(make_sample_fn(model, schedule, cfg))
     out = []
     for bi in range(-(-n // batch)):
         layouts = make_batch(np.random.default_rng(seed + bi), patch, batch)
