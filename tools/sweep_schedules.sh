@@ -13,4 +13,12 @@ for spec in "auto:13" "auto:10" "uniform:5"; do
     timeout 3600 python bench.py >/tmp/bench_s_${tag}.json 2>/tmp/bench_s_${tag}.log
   cat /tmp/bench_s_${tag}.json >&2
 done
+# guidance-interval composition (BASELINE.md guidance-interval pricing table)
+for spec in "auto:13" "auto:10"; do
+  tag=$(echo "$spec" | tr ':' '_')_cfgi
+  echo "=== schedule $spec + cfg_interval 0.2:0.8 ===" >&2
+  STEDM_BENCH_SCHEDULE=$spec STEDM_BENCH_CFG_INTERVAL=0.2:0.8 \
+    timeout 3600 python bench.py >/tmp/bench_s_${tag}.json 2>/tmp/bench_s_${tag}.log
+  cat /tmp/bench_s_${tag}.json >&2
+done
 echo "schedule sweep done" >&2
