@@ -1,24 +1,28 @@
 #!/bin/sh
 # On-chip refresh-SCHEDULE sweep: calibrated (auto:R) and uniform placements
-# through bench.py, one config at a time (this host has one CPU core — never
-# overlap TPU benches). Companion of sweep_serving.sh (interval x levels);
-# quality pricing for the same placements is tools/deepcache_quality.py
-# --schedules (BASELINE.md round-3 "Non-uniform refresh placement" table).
-# Results land in /tmp/bench_s_{SPEC}.json.
+# plus guidance-interval CFG composition, through bench.py, one config at a
+# time (this host has one CPU core — never overlap TPU benches). Companion of
+# sweep_serving.sh (interval x levels); quality pricing for the same
+# placements is tools/deepcache_quality.py --schedules / --cfg_intervals
+# (BASELINE.md round-3 tables). Results land in /tmp/bench_s_{TAG}.json.
 set -e
-for spec in "auto:13" "auto:10" "uniform:5"; do
-  tag=$(echo "$spec" | tr ':' '_')
-  echo "=== schedule $spec ===" >&2
-  STEDM_BENCH_SCHEDULE=$spec \
-    timeout 3600 python bench.py >/tmp/bench_s_${tag}.json 2>/tmp/bench_s_${tag}.log
+run() {
+  tag=$1; shift
+  echo "=== $tag ($*) ===" >&2
+  env "$@" timeout 5400 python bench.py \
+    >/tmp/bench_s_${tag}.json 2>/tmp/bench_s_${tag}.log
   cat /tmp/bench_s_${tag}.json >&2
-done
-# guidance-interval composition (BASELINE.md guidance-interval pricing table)
-for spec in "auto:13" "auto:10"; do
-  tag=$(echo "$spec" | tr ':' '_')_cfgi
-  echo "=== schedule $spec + cfg_interval 0.2:0.8 ===" >&2
-  STEDM_BENCH_SCHEDULE=$spec STEDM_BENCH_CFG_INTERVAL=0.2:0.8 \
-    timeout 3600 python bench.py >/tmp/bench_s_${tag}.json 2>/tmp/bench_s_${tag}.log
-  cat /tmp/bench_s_${tag}.json >&2
-done
+}
+# guidance window on the uniform default (quality: 21.6 dB / FID 0.0003 —
+# better than the plain interval-3 control on both)
+run i3_cfgi            STEDM_BENCH_CFG_INTERVAL=0.2:0.8
+# calibrated placements at decreasing refresh counts (17 = interval-3's count)
+run auto_17            STEDM_BENCH_SCHEDULE=auto:17
+run auto_13            STEDM_BENCH_SCHEDULE=auto:13
+run auto_10            STEDM_BENCH_SCHEDULE=auto:10
+# uniform anchor at the same count as auto:10
+run uniform_5          STEDM_BENCH_SCHEDULE=uniform:5
+# guidance-interval composition on the calibrated schedules
+run auto_13_cfgi       STEDM_BENCH_SCHEDULE=auto:13 STEDM_BENCH_CFG_INTERVAL=0.2:0.8
+run auto_10_cfgi       STEDM_BENCH_SCHEDULE=auto:10 STEDM_BENCH_CFG_INTERVAL=0.2:0.8
 echo "schedule sweep done" >&2
