@@ -6,6 +6,13 @@
 # placements is tools/deepcache_quality.py --schedules / --cfg_intervals
 # (BASELINE.md round-3 tables). Results land in /tmp/bench_s_{TAG}.json.
 set -e
+# serialize against any other bench/sweep on this host: overlapping runs
+# contaminated a whole round-3 sweep (BASELINE.md: a "resume" and a "redo" of
+# this script ran concurrently with its original and produced 4-6x-slow
+# readings on every composed point). The lock makes a second launch fail fast
+# instead of silently corrupting both measurements.
+exec 9>/tmp/stedm_bench.lock
+flock -n 9 || { echo "another bench/sweep holds /tmp/stedm_bench.lock — refusing to overlap (1-core host)" >&2; exit 1; }
 run() {
   tag=$1; shift
   echo "=== $tag ($*) ===" >&2

@@ -3,6 +3,10 @@
 # through bench.py, one config at a time (this host has one CPU core — never
 # overlap TPU benches). Results land in /tmp/bench_i{I}_l{L}.json.
 set -e
+# serialize against any other bench/sweep (see sweep_schedules.sh: overlapping
+# benches on this 1-core host corrupted a whole sweep's timings)
+exec 9>/tmp/stedm_bench.lock
+flock -n 9 || { echo "another bench/sweep holds /tmp/stedm_bench.lock — refusing to overlap (1-core host)" >&2; exit 1; }
 for cfg in "3 1" "2 1" "3 2" "2 2"; do
   set -- $cfg
   I=$1; L=$2
