@@ -63,11 +63,29 @@ A100_BF16_FLOPS = 312e12
 A100_MFU = 0.40
 
 
-def main() -> None:
+def warm(fn, *args, attempts=4):
+    # the remote-compile tunnel drops long-running compile requests
+    # ("Broken pipe" after ~25-30 min); retrying re-issues the request and
+    # can complete against server-side compile progress/cache
+    for i in range(attempts):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:
+            if i == attempts - 1 or "remote_compile" not in str(e):
+                raise
+            print(f"remote compile dropped (attempt {i + 1}), retrying",
+                  file=sys.stderr)
+            time.sleep(20)
+
+
+def build_flagship(batch: int = BATCH):
+    """Flagship landscape-config model + on-device params + a bench batch.
+
+    Shared with the diagnostic probes under tools/ so every on-chip timing
+    measures the exact same model the headline bench does. Returns
+    ``(model, params, batch_dict, schedule)``."""
     from stedm_tpu.core.schedules import DiffusionSchedule
     from stedm_tpu.models.stedm import STEDM
-    from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
-    from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
 
     model = STEDM(
         unet_config=dict(in_channels=6, out_channels=3, model_channels=128,
@@ -83,36 +101,29 @@ def main() -> None:
         patch_size=PATCH,
         dtype=jnp.bfloat16,
     )
-
-    def warm(fn, *args, attempts=4):
-        # the remote-compile tunnel drops long-running compile requests
-        # ("Broken pipe" after ~25-30 min); retrying re-issues the request and
-        # can complete against server-side compile progress/cache
-        for i in range(attempts):
-            try:
-                return fn(*args)
-            except jax.errors.JaxRuntimeError as e:
-                if i == attempts - 1 or "remote_compile" not in str(e):
-                    raise
-                print(f"remote compile dropped (attempt {i + 1}), retrying",
-                      file=sys.stderr)
-                time.sleep(20)
-
     rng = jax.random.PRNGKey(0)
-    batch = {
-        "segmentation": jnp.zeros((BATCH, PATCH, PATCH, 2), jnp.float32).at[..., 0].set(1.0),
+    batch_dict = {
+        "segmentation": jnp.zeros((batch, PATCH, PATCH, 2), jnp.float32).at[..., 0].set(1.0),
         "style_imgs": jnp.asarray(
-            np.random.default_rng(0).uniform(-1, 1, (BATCH, 1, PATCH, PATCH, 3)),
+            np.random.default_rng(0).uniform(-1, 1, (batch, 1, PATCH, PATCH, 3)),
             jnp.float32),
     }
-    init_img = jnp.zeros((BATCH, PATCH, PATCH, 3), jnp.float32)
-    params = warm(model.init, rng, init_img, batch["segmentation"],
-                  batch["style_imgs"], jnp.zeros((BATCH,), jnp.int32))["params"]
+    init_img = jnp.zeros((batch, PATCH, PATCH, 3), jnp.float32)
+    params = warm(model.init, rng, init_img, batch_dict["segmentation"],
+                  batch_dict["style_imgs"], jnp.zeros((batch,), jnp.int32))["params"]
     # zero-init output convs would NaN the CFG rescale on an untrained model
     params = jax.tree_util.tree_map(
         lambda p: p + 0.005 if p.ndim == 4 else p, params)
-
     schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
+    return model, params, batch_dict, schedule
+
+
+def main() -> None:
+    from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
+    from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
+
+    model, params, batch, schedule = build_flagship(BATCH)
+    rng = jax.random.PRNGKey(0)
     base = dict(ddim_steps=STEPS, eta=0.0, cfg_scale=1.5, rescale_phi=0.7,
                 batched_cfg=True, downsample=4)
     serving = dict(cache_interval=CACHE_INTERVAL, cache_levels=CACHE_LEVELS)

@@ -383,13 +383,43 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         # same key sequence as ddim_sample's step_keys (index 0 = highest noise)
         step_keys = jax.random.split(rng, steps) if stochastic else None
         i = 0
+        times = [] if _block_timing() else None
         for k, pat, gpat, cb in zip(sizes, patterns, gpatterns, block_consts):
             keys = step_keys[i:i + k] if stochastic else rng
+            if times is not None:
+                t0 = _sync(x)
             x = block_fns[(k, pat, gpat)](var, x, seg_cond, ctx, *cb, keys)
             i += k
+            if times is not None:
+                times.append(_sync(x) - t0)
+        if times is not None:
+            import sys
+
+            print("block times (size:s): " + " ".join(
+                f"{k}:{t:.4f}" for k, t in zip(sizes, times)), file=sys.stderr)
         return x
 
     return _sample_shell(block_loop)
+
+
+def _block_timing() -> bool:
+    """STEDM_HOST_BLOCK_TIMING=1 prints per-block device times from the DDIM
+    block loop (diagnostic; the per-block sync destroys the async pipelining
+    the loop normally relies on, so only per-block RELATIVE times are
+    meaningful, not the trajectory total)."""
+    import os
+
+    return os.environ.get("STEDM_HOST_BLOCK_TIMING", "") not in ("", "0")
+
+
+def _sync(x) -> float:
+    """True-completion sync point: a 4-byte host readback that depends on
+    ``x`` (CLAUDE.md: through the remote tunnel, block_until_ready alone can
+    return before the program finishes there)."""
+    import time
+
+    float(jnp.mean(x))
+    return time.perf_counter()
 
 
 def _plms_blocks(model, cfg, ddim, eval_e, partition, default_unroll):

@@ -200,6 +200,13 @@ def evaluate(model, schedule, params, *, intervals, patch: int = 32,
                generate_set(model, schedule, params, n=fid_samples, patch=patch,
                             ddim_steps=ddim_steps, interval=3,
                             cfg_interval=(lo, hi)))
+        # (c) composed with each scheduled placement — the serving frontier
+        # combines BOTH levers, so the headline point needs its own pricing
+        for label, positions in (schedules or {}).items():
+            _price(f"cfgint {lo}:{hi} + {label}",
+                   generate_set(model, schedule, params, n=fid_samples,
+                                patch=patch, ddim_steps=ddim_steps,
+                                positions=positions, cfg_interval=(lo, hi)))
     return results
 
 
