@@ -8,12 +8,20 @@ bf16 compute. Prints ONE JSON line (stdout); supporting numbers — the exact
 output deviation — go to stderr.
 
 The headline number uses the framework's serving mode: cross-step deep-feature
-reuse (DeepCache-style, `SamplerConfig.cache_interval=3`) — the deep U-Net trunk
-is refreshed every 3rd DDIM step and only the 64^2 level recomputes in between.
-Same task, same model, same step count as the reference pipeline (which runs two
-fresh full U-Net passes per step, reference ddim.py:177-178); `vs_baseline`'s
-denominator is still derived from the FULL reference-equivalent FLOPs, so the
-speedup from skipping work is exactly what it claims to be.
+reuse (DeepCache-style) with drift-calibrated non-uniform refresh placement
+(`cache_schedule=auto:10` — per-step trunk drift is measured on THIS model at
+bench time and 10 refreshes are placed by exact DP, `core/cache_schedule.py`)
+composed with a guidance window (`cfg_interval=(0.2, 0.8)`, arXiv 2404.07724 —
+CFG only on the middle 60% of the trajectory; outside it the uncond half of the
+shared-encoder fan-out is skipped). Both knobs are priced at the distribution
+level on a trained model (BASELINE.md round-3 tables: cached-vs-exact FID_rp
+~100x below the metric's same-distribution noise floor, for the composed
+configuration too). Same task, same model, same step count as the reference
+pipeline (which runs two fresh full U-Net passes per step, reference
+ddim.py:177-178); `vs_baseline`'s denominator is still derived from the FULL
+reference-equivalent FLOPs, so the speedup from skipping work is exactly what
+it claims to be, and the JSON line always carries the exact-trajectory numbers
+(`exact_value`, `exact_vs_baseline`) alongside the serving-mode headline.
 
 ``vs_baseline`` is measured throughput divided by an analytic A100 estimate
 (BASELINE.md: the reference repo publishes no numbers, so the A100 bound is
@@ -41,20 +49,27 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BATCH = int(os.environ.get("STEDM_BENCH_BATCH", 8))
 PATCH = 256
 STEPS = 50
-# serving mode: refresh the deep trunk every Nth step. Default 3 — priced in
-# relative FID on a trained model (BASELINE.md round-3 serving-quality table);
-# sweepable via env for on-chip A/Bs (STEDM_BENCH_INTERVAL / _LEVELS).
+# serving mode, uniform-interval knob: refresh the deep trunk every Nth step.
+# Used when STEDM_BENCH_SCHEDULE is empty; priced in relative FID on a trained
+# model (BASELINE.md round-3 serving-quality table).
 CACHE_INTERVAL = int(os.environ.get("STEDM_BENCH_INTERVAL", 3))
 CACHE_LEVELS = int(os.environ.get("STEDM_BENCH_LEVELS", 1))
 # non-uniform refresh placement (core/cache_schedule.py spec, e.g. "quad:13",
 # "uniform:5", "0,3,8,...", or "auto:R" to calibrate drift on this model);
-# empty = uniform every CACHE_INTERVAL steps
-CACHE_SCHEDULE = os.environ.get("STEDM_BENCH_SCHEDULE", "")
+# empty = uniform every CACHE_INTERVAL steps. Default auto:10 — the certified
+# round-3 frontier (BASELINE.md 2026-08-19 table: 28.9 img/s composed with the
+# guidance window below; drift-calibrated placement holds the untrained
+# flagship at 23.8 dB vs uniform:5's 11.2 dB at the same refresh count, and
+# the trained-model cached-vs-exact FID_rp stays ~100x below the metric noise
+# floor). Falls back to uniform CACHE_INTERVAL if calibration fails.
+CACHE_SCHEDULE = os.environ.get("STEDM_BENCH_SCHEDULE", "auto:10")
 # guidance interval (arXiv 2404.07724, core/ddim.py:ddim_sample_guided), e.g.
 # "0:0.6": CFG only on that fraction of the trajectory; outside it the uncond
 # half of the shared-encoder fan-out is skipped. Empty = guide every step
-# (the reference behavior). Composes with the cache knobs above.
-CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "")
+# (the reference behavior). Composes with the cache knobs above; the 0.2:0.8
+# default is priced on the trained tiny model (BASELINE.md: composing it with
+# the trunk cache does not degrade — it slightly improves paired PSNR).
+CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "0.2:0.8")
 # host-sampler steps per dispatched block. Swept on-chip (2026-08-17):
 # unroll 10 / batch 8 won — exact 7.97 img/s, serving 18.05 (unroll 5:
 # 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
@@ -133,22 +148,29 @@ def main() -> None:
         from stedm_tpu.core.ddim import DDIMParams
 
         n_steps = DDIMParams.create(schedule, STEPS, 0.0).num_steps
-        drift = None
-        if CACHE_SCHEDULE.startswith("auto"):
-            from stedm_tpu.train.calibrate import measure_cache_drift
+        try:
+            drift = None
+            if CACHE_SCHEDULE.startswith("auto"):
+                from stedm_tpu.train.calibrate import measure_cache_drift
 
-            drift = measure_cache_drift(
-                model, schedule, SamplerConfig(**base), params, batch,
-                jax.random.PRNGKey(42))
-            print("calibrated drift: " + " ".join(f"{d:.3f}" for d in drift),
+                drift = measure_cache_drift(
+                    model, schedule, SamplerConfig(**base), params, batch,
+                    jax.random.PRNGKey(42))
+                print("calibrated drift: " + " ".join(f"{d:.3f}" for d in drift),
+                      file=sys.stderr)
+            pos = positions_from_spec(CACHE_SCHEDULE, n_steps, drift)
+            print(f"cache schedule {CACHE_SCHEDULE}: {len(pos)} refreshes at "
+                  f"{list(pos)}", file=sys.stderr)
+            serving = dict(cache_interval=1, cache_levels=CACHE_LEVELS,
+                           cache_schedule=pos)
+            mode = (f"deepcache_schedule_{CACHE_SCHEDULE}_levels_{CACHE_LEVELS}"
+                    f"_refreshes_{len(pos)}")
+        except Exception as e:
+            # the bench record must survive a calibration failure — fall back
+            # to the uniform-interval serving mode rather than dying
+            print(f"cache schedule {CACHE_SCHEDULE} failed ({e!r}); "
+                  f"falling back to uniform interval {CACHE_INTERVAL}",
                   file=sys.stderr)
-        pos = positions_from_spec(CACHE_SCHEDULE, n_steps, drift)
-        print(f"cache schedule {CACHE_SCHEDULE}: {len(pos)} refreshes at "
-              f"{list(pos)}", file=sys.stderr)
-        serving = dict(cache_interval=1, cache_levels=CACHE_LEVELS,
-                       cache_schedule=pos)
-        mode = (f"deepcache_schedule_{CACHE_SCHEDULE}_levels_{CACHE_LEVELS}"
-                f"_refreshes_{len(pos)}")
     elif CACHE_INTERVAL <= 1:
         mode = "exact"
     if CFG_INTERVAL:
