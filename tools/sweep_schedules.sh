@@ -16,7 +16,11 @@ flock -n 9 || { echo "another bench/sweep holds /tmp/stedm_bench.lock — refusi
 run() {
   tag=$1; shift
   echo "=== $tag ($*) ===" >&2
-  env "$@" timeout 5400 python bench.py \
+  # pin both knobs EMPTY first: bench.py now defaults them to the composed
+  # frontier (auto:10 + 0.2:0.8), and each sweep point must set ONLY what it
+  # names (the per-point env below overrides the empty pins)
+  env STEDM_BENCH_SCHEDULE= STEDM_BENCH_CFG_INTERVAL= "$@" \
+    timeout 5400 python bench.py \
     >/tmp/bench_s_${tag}.json 2>/tmp/bench_s_${tag}.log
   cat /tmp/bench_s_${tag}.json >&2
 }

@@ -11,7 +11,10 @@ for cfg in "3 1" "2 1" "3 2" "2 2"; do
   set -- $cfg
   I=$1; L=$2
   echo "=== interval $I levels $L ===" >&2
-  STEDM_BENCH_INTERVAL=$I STEDM_BENCH_LEVELS=$L \
+  # pin schedule/cfg-window EMPTY: bench.py defaults them to the composed
+  # frontier (auto:10 + 0.2:0.8) and this sweep measures uniform intervals
+  STEDM_BENCH_SCHEDULE= STEDM_BENCH_CFG_INTERVAL= \
+    STEDM_BENCH_INTERVAL=$I STEDM_BENCH_LEVELS=$L \
     timeout 3600 python bench.py >/tmp/bench_i${I}_l${L}.json 2>/tmp/bench_i${I}_l${L}.log
   cat /tmp/bench_i${I}_l${L}.json >&2
 done
