@@ -133,6 +133,50 @@ def build_flagship(batch: int = BATCH):
     return model, params, batch_dict, schedule
 
 
+def resolve_serving(schedule_spec: str, cache_interval: int, cache_levels: int,
+                    cfg_interval_str: str, n_steps: int, calibrate=None,
+                    log=lambda m: print(m, file=sys.stderr)):
+    """Resolve the serving-mode SamplerConfig kwargs + the mode label from the
+    env knobs. The bench's JSON line is the driver's durable record, so every
+    branch degrades instead of dying: a failing schedule spec (calibration
+    error, bad spec string) falls back to the uniform interval, a malformed
+    guidance window is dropped. ``calibrate()`` lazily produces the drift
+    profile for ``auto:R`` specs. Unit-tested in tests/test_bench_config.py."""
+    serving = dict(cache_interval=cache_interval, cache_levels=cache_levels)
+    mode = f"deepcache_interval_{cache_interval}_levels_{cache_levels}"
+    if schedule_spec:
+        from stedm_tpu.core.cache_schedule import positions_from_spec
+
+        try:
+            drift = None
+            if schedule_spec.startswith("auto"):
+                drift = calibrate()
+                log("calibrated drift: " + " ".join(f"{d:.3f}" for d in drift))
+            pos = positions_from_spec(schedule_spec, n_steps, drift)
+            log(f"cache schedule {schedule_spec}: {len(pos)} refreshes at "
+                f"{list(pos)}")
+            serving = dict(cache_interval=1, cache_levels=cache_levels,
+                           cache_schedule=pos)
+            mode = (f"deepcache_schedule_{schedule_spec}_levels_{cache_levels}"
+                    f"_refreshes_{len(pos)}")
+        except Exception as e:
+            log(f"cache schedule {schedule_spec} failed ({e!r}); "
+                f"falling back to uniform interval {cache_interval}")
+    elif cache_interval <= 1:
+        mode = "exact"
+    if cfg_interval_str:
+        # applies to the SERVING config only — `exact_value` stays the
+        # reference-equivalent trajectory (guidance on every step)
+        try:
+            lo_s, _, hi_s = cfg_interval_str.partition(":")
+            serving = dict(serving, cfg_interval=(float(lo_s), float(hi_s)))
+            mode += f"_cfgint_{lo_s}_{hi_s}"
+        except Exception as e:
+            log(f"cfg interval {cfg_interval_str!r} unparseable ({e!r}); "
+                f"guiding every step")
+    return serving, mode
+
+
 def main() -> None:
     from stedm_tpu.train.host_sampler import host_loop_default, make_host_sample_fn
     from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
@@ -141,44 +185,18 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     base = dict(ddim_steps=STEPS, eta=0.0, cfg_scale=1.5, rescale_phi=0.7,
                 batched_cfg=True, downsample=4)
-    serving = dict(cache_interval=CACHE_INTERVAL, cache_levels=CACHE_LEVELS)
-    mode = f"deepcache_interval_{CACHE_INTERVAL}_levels_{CACHE_LEVELS}"
-    if CACHE_SCHEDULE:
-        from stedm_tpu.core.cache_schedule import positions_from_spec
-        from stedm_tpu.core.ddim import DDIMParams
 
-        n_steps = DDIMParams.create(schedule, STEPS, 0.0).num_steps
-        try:
-            drift = None
-            if CACHE_SCHEDULE.startswith("auto"):
-                from stedm_tpu.train.calibrate import measure_cache_drift
+    def calibrate():
+        from stedm_tpu.train.calibrate import measure_cache_drift
 
-                drift = measure_cache_drift(
-                    model, schedule, SamplerConfig(**base), params, batch,
-                    jax.random.PRNGKey(42))
-                print("calibrated drift: " + " ".join(f"{d:.3f}" for d in drift),
-                      file=sys.stderr)
-            pos = positions_from_spec(CACHE_SCHEDULE, n_steps, drift)
-            print(f"cache schedule {CACHE_SCHEDULE}: {len(pos)} refreshes at "
-                  f"{list(pos)}", file=sys.stderr)
-            serving = dict(cache_interval=1, cache_levels=CACHE_LEVELS,
-                           cache_schedule=pos)
-            mode = (f"deepcache_schedule_{CACHE_SCHEDULE}_levels_{CACHE_LEVELS}"
-                    f"_refreshes_{len(pos)}")
-        except Exception as e:
-            # the bench record must survive a calibration failure — fall back
-            # to the uniform-interval serving mode rather than dying
-            print(f"cache schedule {CACHE_SCHEDULE} failed ({e!r}); "
-                  f"falling back to uniform interval {CACHE_INTERVAL}",
-                  file=sys.stderr)
-    elif CACHE_INTERVAL <= 1:
-        mode = "exact"
-    if CFG_INTERVAL:
-        # applies to the SERVING config only — `exact_value` stays the
-        # reference-equivalent trajectory (guidance on every step)
-        lo_s, _, hi_s = CFG_INTERVAL.partition(":")
-        serving = dict(serving, cfg_interval=(float(lo_s), float(hi_s)))
-        mode += f"_cfgint_{lo_s}_{hi_s}"
+        return measure_cache_drift(model, schedule, SamplerConfig(**base),
+                                   params, batch, jax.random.PRNGKey(42))
+
+    from stedm_tpu.core.ddim import DDIMParams
+
+    serving, mode = resolve_serving(
+        CACHE_SCHEDULE, CACHE_INTERVAL, CACHE_LEVELS, CFG_INTERVAL,
+        DDIMParams.create(schedule, STEPS, 0.0).num_steps, calibrate)
     if host_loop_default() and os.environ.get("STEDM_BENCH_SCAN", "") in (
             "", "0", "false", "False"):
         # host-driven block sampler (stedm_tpu/train/host_sampler.py): same

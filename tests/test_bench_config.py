@@ -1,0 +1,109 @@
+"""Unit tests for bench.py's serving-config resolution.
+
+The bench JSON line is the driver's durable perf record, so `resolve_serving`
+must degrade instead of dying: a failing `auto:R` calibration (or a bad spec
+string) falls back to the uniform-interval serving mode, and a malformed
+guidance-window string is dropped. These branches can't be exercised on the
+chip without breaking a real bench run — they are covered here on CPU.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+_cache = jax.config.jax_compilation_cache_dir
+
+import bench  # noqa: E402  (repo root on sys.path)
+
+# bench.py points the compile cache at its TPU dir on import; restore the
+# test harness's .jax_cache so later tests in this process stay warm
+jax.config.update("jax_compilation_cache_dir", _cache)
+
+N_STEPS = 50
+
+
+def _resolve(spec="", interval=3, levels=1, cfg="", calibrate=None):
+    logs = []
+    serving, mode = bench.resolve_serving(spec, interval, levels, cfg, N_STEPS,
+                                          calibrate=calibrate,
+                                          log=logs.append)
+    return serving, mode, logs
+
+
+def test_uniform_default():
+    serving, mode, _ = _resolve(interval=3)
+    assert serving == {"cache_interval": 3, "cache_levels": 1}
+    assert mode == "deepcache_interval_3_levels_1"
+
+
+def test_exact_mode_label():
+    _, mode, _ = _resolve(interval=1)
+    assert mode == "exact"
+
+
+def test_explicit_positions():
+    serving, mode, _ = _resolve(spec="0,5,10")
+    assert serving["cache_schedule"] == (0, 5, 10)
+    assert serving["cache_interval"] == 1
+    assert mode.endswith("refreshes_3")
+
+
+def test_auto_schedule_uses_calibration():
+    drift = np.linspace(1.0, 0.1, N_STEPS - 1)
+    serving, mode, _ = _resolve(spec="auto:5", calibrate=lambda: drift)
+    assert len(serving["cache_schedule"]) == 5
+    assert serving["cache_schedule"][0] == 0
+    assert mode.endswith("refreshes_5")
+
+
+def test_auto_calibration_failure_falls_back_to_uniform():
+    def boom():
+        raise RuntimeError("tunnel dropped")
+
+    serving, mode, logs = _resolve(spec="auto:10", interval=3, calibrate=boom)
+    assert serving == {"cache_interval": 3, "cache_levels": 1}
+    assert mode == "deepcache_interval_3_levels_1"
+    assert any("falling back to uniform interval 3" in m for m in logs)
+
+
+def test_bad_spec_string_falls_back():
+    serving, mode, logs = _resolve(spec="nonsense:xyz", interval=3)
+    assert serving == {"cache_interval": 3, "cache_levels": 1}
+    assert any("falling back" in m for m in logs)
+
+
+def test_cfg_interval_parses_and_composes():
+    serving, mode, _ = _resolve(spec="uniform:5", cfg="0.2:0.8")
+    assert serving["cfg_interval"] == (0.2, 0.8)
+    assert mode.endswith("_cfgint_0.2_0.8")
+    assert serving["cache_schedule"]  # composition kept the schedule
+
+
+def test_malformed_cfg_interval_dropped():
+    serving, mode, logs = _resolve(cfg="abc")
+    assert "cfg_interval" not in serving
+    assert "cfgint" not in mode
+    assert any("unparseable" in m for m in logs)
+
+
+def test_defaults_resolve_without_env():
+    # the shipped defaults (auto:10 + 0.2:0.8) resolve with a fake drift
+    drift = np.abs(np.sin(np.arange(N_STEPS - 1))) + 0.01
+    serving, mode, _ = _resolve(spec=bench.CACHE_SCHEDULE or "auto:10",
+                                cfg=bench.CFG_INTERVAL or "0.2:0.8",
+                                calibrate=lambda: drift)
+    assert len(serving["cache_schedule"]) == 10
+    assert serving["cfg_interval"] == (0.2, 0.8)
+    assert "refreshes_10" in mode and "cfgint" in mode
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
