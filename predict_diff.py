@@ -227,7 +227,14 @@ def main(argv: list[str]) -> None:
                                        and sampler_cfg.cache_interval == 1
                                        and sampler_cfg.cache_schedule is None)))
     if use_host:
-        sample = make_host_sample_fn(model, schedule, sampler_cfg)
+        # +block_carry=true threads the serving-mode cache BETWEEN block
+        # programs (uniform budget-sized chunks — no oversized program for a
+        # sparse cache_schedule's long refresh periods); None defers to the
+        # STEDM_BLOCK_CARRY env var. +unroll= overrides the steps-per-block
+        # budget (default 10 in serving mode, auto in exact mode).
+        sample = make_host_sample_fn(model, schedule, sampler_cfg,
+                                     unroll=cfg.get("unroll", None),
+                                     carry_cache=cfg.get("block_carry", None))
     else:
         sample = jax.jit(make_sample_fn(model, schedule, sampler_cfg),
                          in_shardings=(rep, dp, None), out_shardings=dp)

@@ -85,8 +85,8 @@ def make_auto_sample_fn(model: STEDM, schedule: DiffusionSchedule,
 
 
 def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
-                        cfg: SamplerConfig, unroll: int | None = None
-                        ) -> Callable:
+                        cfg: SamplerConfig, unroll: int | None = None,
+                        carry_cache: bool | None = None) -> Callable:
     """Build a host-driven sampler with `make_sample_fn` semantics
     (reference predict_step, modules/ldm_diffusion.py:76-107): returns
     ``sample(params, batch, rng) -> images in [-1, 1]``.
@@ -99,9 +99,25 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
     -static so each order is a static branch, not a `lax.cond`. The returned
     callable is NOT jittable (it is already composed of jitted pieces); do not
     wrap it in jax.jit.
+
+    ``carry_cache``: in cached serving mode, thread the deep-feature cache
+    BETWEEN block programs (as a donated argument/output) instead of requiring
+    every block to start at a refresh. The trajectory then chunks into uniform
+    ``unroll``-sized blocks regardless of refresh placement — a sparse
+    `cache_schedule` no longer produces one oversized program per long refresh
+    period (the 2026-08-19 frontier sweep measured those to dispatch
+    pathologically: auto:4's 25-step block ran SLOWER end-to-end than auto:5's
+    18-step one despite strictly less math). Same per-step math, same
+    trajectory — only the program partition changes. Default: the
+    ``STEDM_BLOCK_CARRY`` env var (off).
     """
     if cfg.method not in ("ddim", "plms", "dpm"):
         raise NotImplementedError(f"unknown sampler method {cfg.method!r}")
+    if carry_cache is None:
+        import os
+
+        carry_cache = os.environ.get("STEDM_BLOCK_CARRY", "") not in (
+            "", "0", "false", "False")
     caching = cfg.cache_interval > 1 or cfg.cache_schedule is not None
     if cfg.method != "ddim" and caching:
         # mirror make_sample_fn's check (train/steps.py) — silently sampling
@@ -291,16 +307,29 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         if cfg.cache_schedule is not None:
             refresh_set = (set(validate_positions(cfg.cache_schedule, steps))
                            | forced)
-            # coalesce consecutive refresh periods into one block while the
-            # block stays within the unroll budget: fewer host dispatches (the
-            # block loop is host-latency-sensitive on remote terminals) at the
-            # price of more distinct (size, pattern) programs to compile
-            block_starts = coalesce_blocks(sorted(refresh_set), steps,
-                                           int(unroll) if unroll else 10)
+            if carry_cache:
+                # cache threads between blocks, so boundaries need not sit on
+                # refreshes: uniform budget-sized chunks, no oversized program
+                # for a long refresh period
+                block_starts = list(range(0, steps,
+                                          int(unroll) if unroll else 10))
+            else:
+                # coalesce consecutive refresh periods into one block while
+                # the block stays within the unroll budget: fewer host
+                # dispatches (the block loop is host-latency-sensitive on
+                # remote terminals) at the price of more distinct
+                # (size, pattern) programs to compile — and one OVERSIZED
+                # program per refresh period longer than the budget
+                block_starts = coalesce_blocks(sorted(refresh_set), steps,
+                                               int(unroll) if unroll else 10)
         else:
             refresh_set = set(range(0, steps, interval)) | forced
-            m = max(1, int(unroll) // interval) if unroll else 1
-            block_starts = list(range(0, steps, interval * m))
+            if carry_cache:
+                block_starts = list(range(0, steps,
+                                          int(unroll) if unroll else 10))
+            else:
+                m = max(1, int(unroll) // interval) if unroll else 1
+                block_starts = list(range(0, steps, interval * m))
         sizes = [b2 - b1 for b1, b2 in
                  zip(block_starts, block_starts[1:] + [steps])]
         patterns = []
@@ -314,9 +343,28 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         for k in range(steps):
             gov = k if k in refresh_set else gov
             assert not (guided[k] and not guided[gov]), (k, gov)
+        # static cache state at each block entry: None = no live cache (block
+        # starts at-or-before the first refresh — position 0 is always a
+        # refresh, so only block 0), else whether the governing refresh was
+        # guided (cache carries the 2B cond/uncond fan-out). Non-carry blocks
+        # all start at a refresh and never consume an entry cache.
+        entry_states: list[bool | None] = []
+        if carry_cache:
+            gov_guided: bool | None = None
+            s0 = 0
+            for k in sizes:
+                entry_states.append(gov_guided)
+                for j in range(k):
+                    if (s0 + j) in refresh_set:
+                        gov_guided = bool(use_cfg and guided[s0 + j])
+                s0 += k
+            assert entry_states[0] is None and patterns[0][0]
+        else:
+            entry_states = [None] * len(sizes)
     else:
         sizes = _partition(steps, _default_unroll(steps))
         patterns = [None] * len(sizes)
+        entry_states = [None] * len(sizes)
     gpatterns = []
     s0 = 0
     for k in sizes:
@@ -324,11 +372,12 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         s0 += k
 
     def _make_block(k: int, pattern: tuple[bool, ...] | None,
-                    gpat: tuple[bool, ...]):
-        def fn(var, x, seg_cond, ctx, tb, ab, apb, sgb, sqb, keys):
+                    gpat: tuple[bool, ...], entry_g: bool | None = None,
+                    carry: bool = False):
+        def body(var, x, cache, cache_guided, seg_cond, ctx,
+                 tb, ab, apb, sgb, sqb, keys):
+            # cache_guided is STATIC: does the live cache carry the 2B fan-out?
             b = x.shape[0]
-            cache = None
-            cache_guided = False  # static: does the live cache carry the 2B fan-out?
             for j in range(k):  # static unroll
                 ts = jnp.full((b,), tb[j], dtype=jnp.int32)
                 key = keys[j] if stochastic else keys
@@ -365,12 +414,26 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
                 else:
                     out = eps_cond(var, x, ts, seg_cond, ctx)
                 x = update(x, out, ab[j], apb[j], sgb[j], sqb[j], key, g)
-            return x
+            return x, cache
+
+        if carry:
+            # cache threads between blocks: donated input (None only for the
+            # first block — position 0 is always a refresh), returned output
+            def fn(var, x, cache, seg_cond, ctx, tb, ab, apb, sgb, sqb, keys):
+                return body(var, x, cache, bool(entry_g), seg_cond, ctx,
+                            tb, ab, apb, sgb, sqb, keys)
+            return jax.jit(fn, donate_argnums=(1, 2))
+
+        def fn(var, x, seg_cond, ctx, tb, ab, apb, sgb, sqb, keys):
+            return body(var, x, None, False, seg_cond, ctx,
+                        tb, ab, apb, sgb, sqb, keys)[0]
         return jax.jit(fn, donate_argnums=(1,))
 
+    carry = bool(carry_cache) and caching
     block_fns = {}
-    for k, pat, gpat in zip(sizes, patterns, gpatterns):
-        block_fns.setdefault((k, pat, gpat), _make_block(k, pat, gpat))
+    for k, pat, gpat, eg in zip(sizes, patterns, gpatterns, entry_states):
+        block_fns.setdefault((k, pat, gpat, eg),
+                             _make_block(k, pat, gpat, eg, carry))
     # per-block step constants as device-resident [k] arrays, built once
     block_consts = []
     start = 0
@@ -383,12 +446,19 @@ def make_host_sample_fn(model: STEDM, schedule: DiffusionSchedule,
         # same key sequence as ddim_sample's step_keys (index 0 = highest noise)
         step_keys = jax.random.split(rng, steps) if stochastic else None
         i = 0
+        cache = None
         times = [] if _block_timing() else None
-        for k, pat, gpat, cb in zip(sizes, patterns, gpatterns, block_consts):
+        for k, pat, gpat, eg, cb in zip(sizes, patterns, gpatterns,
+                                        entry_states, block_consts):
             keys = step_keys[i:i + k] if stochastic else rng
             if times is not None:
                 t0 = _sync(x)
-            x = block_fns[(k, pat, gpat)](var, x, seg_cond, ctx, *cb, keys)
+            if carry:
+                x, cache = block_fns[(k, pat, gpat, eg)](
+                    var, x, cache, seg_cond, ctx, *cb, keys)
+            else:
+                x = block_fns[(k, pat, gpat, eg)](var, x, seg_cond, ctx, *cb,
+                                                  keys)
             i += k
             if times is not None:
                 times.append(_sync(x) - t0)

@@ -95,14 +95,17 @@ def test_malformed_cfg_interval_dropped():
 
 
 def test_defaults_resolve_without_env():
-    # the shipped defaults (auto:10 + 0.2:0.8) resolve with a fake drift
+    # the shipped defaults (auto:R + a cfg window) resolve with a fake drift
     drift = np.abs(np.sin(np.arange(N_STEPS - 1))) + 0.01
-    serving, mode, _ = _resolve(spec=bench.CACHE_SCHEDULE or "auto:10",
+    spec = bench.CACHE_SCHEDULE or "auto:5"
+    assert spec.startswith("auto:")
+    n_refresh = int(spec.split(":")[1])
+    serving, mode, _ = _resolve(spec=spec,
                                 cfg=bench.CFG_INTERVAL or "0.2:0.8",
                                 calibrate=lambda: drift)
-    assert len(serving["cache_schedule"]) == 10
+    assert len(serving["cache_schedule"]) == n_refresh
     assert serving["cfg_interval"] == (0.2, 0.8)
-    assert "refreshes_10" in mode and "cfgint" in mode
+    assert f"refreshes_{n_refresh}" in mode and "cfgint" in mode
 
 
 if __name__ == "__main__":

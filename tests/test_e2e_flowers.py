@@ -170,6 +170,19 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     sched_dir = flowers_dir / "syn_data" / "flowers_sched"
     assert len(list(sched_dir.glob("img_*.png"))) >= 2
 
+    # cross-block cache carry through the CLI: +host_loop drives the block
+    # sampler (1-device pc mesh), +unroll=3 forces multiple blocks, and
+    # +block_carry threads the deep-feature cache between block programs —
+    # the second block starts mid-refresh-period and consumes the carried
+    # cache (host_sampler.py carry_cache)
+    pd.main(overrides + [
+        "data.samples=1", "ddim_steps=8", "cfg_scale=1.5",
+        "+cache_schedule=[0,5]", "+host_loop=true", "+block_carry=true",
+        "+unroll=3", "+predict_name=flowers_carry",
+    ])
+    carry_dir = flowers_dir / "syn_data" / "flowers_carry"
+    assert len(list(carry_dir.glob("img_*.png"))) >= 2
+
     # generated pairs round-trip through the syn data module
     from stedm_tpu.config import compose
     from stedm_tpu.data.dm import DataModule

@@ -48,6 +48,70 @@ def test_host_matches_scan(tiny, kw):  # noqa: F811
     np.testing.assert_allclose(host, scan, atol=2e-5)
 
 
+@pytest.mark.parametrize("kw,unroll", [
+    # sparse schedule, budget 3: blocks [3,3,2] — the second block starts
+    # MID-PERIOD (step 3, governing refresh at 0) and must consume the carried
+    # cache; the refresh at 5 lands inside block 2
+    (dict(cfg_scale=1.5, batched_cfg=True, ddim_steps=8,
+          cache_schedule=(0, 5)), 3),
+    # composed with a guidance window: forced refresh at the window entry,
+    # guided (2B) cache carried across a boundary, then an unguided refresh
+    # shrinks it to B rows
+    (dict(cfg_scale=1.5, batched_cfg=True, ddim_steps=8,
+          cache_schedule=(0, 5), cfg_interval=(0.25, 0.75)), 3),
+    # uniform-interval serving mode chunked off the refresh grid
+    (dict(cfg_scale=1.5, batched_cfg=True, ddim_steps=7, cache_interval=3), 2),
+    # no CFG
+    (dict(cfg_scale=1.0, use_cfg=False, ddim_steps=8,
+          cache_schedule=(0, 5)), 3),
+    # stochastic serving mode (per-step key sequence must stay aligned)
+    (dict(cfg_scale=1.5, batched_cfg=True, eta=0.3, ddim_steps=8,
+          cache_schedule=(0, 5)), 3),
+])
+def test_carry_cache_matches_scan(tiny, kw, unroll):  # noqa: F811
+    """Cross-block cache carry (`carry_cache=True`): the trajectory chunks
+    into uniform blocks whose boundaries need not sit on refresh positions —
+    the deep-feature cache threads between block programs as a donated
+    argument. Must be trajectory-identical to the scanned sampler (and hence
+    to the non-carry host drive, which is already scan-parity-tested)."""
+    model, params, batch, schedule = tiny
+    cfg = SamplerConfig(eta=kw.pop("eta", 0.0), rescale_phi=0.7, downsample=4,
+                        **kw)
+    rng = jax.random.PRNGKey(3)
+    scan = np.asarray(jax.jit(make_sample_fn(model, schedule, cfg))(
+        params, batch, rng))
+    host = np.asarray(make_host_sample_fn(model, schedule, cfg, unroll=unroll,
+                                          carry_cache=True)(
+        params, batch, rng))
+    np.testing.assert_allclose(host, scan, atol=2e-5)
+
+
+def test_carry_cache_partition_is_uniform(tiny):  # noqa: F811
+    """The carry partition must never produce an oversized block: a long
+    refresh period chunks into budget-sized programs (the non-carry coalesce
+    would emit one 5-step block here)."""
+    model, params, batch, schedule = tiny
+    cfg = SamplerConfig(ddim_steps=8, cfg_scale=1.5, batched_cfg=True,
+                        rescale_phi=0.7, downsample=4, cache_schedule=(0, 5))
+    import os
+
+    fn = make_host_sample_fn(model, schedule, cfg, unroll=3, carry_cache=True)
+    os.environ["STEDM_HOST_BLOCK_TIMING"] = "1"
+    try:
+        import contextlib
+        import io
+
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            fn(params, batch, jax.random.PRNGKey(0))
+        line = [ln for ln in err.getvalue().splitlines()
+                if ln.startswith("block times")][0]
+        sizes = [int(tok.split(":")[0]) for tok in line.split()[3:]]
+        assert sizes == [3, 3, 2]
+    finally:
+        os.environ["STEDM_HOST_BLOCK_TIMING"] = "0"
+
+
 def test_rejects_unsupported(tiny):  # noqa: F811
     model, params, batch, schedule = tiny
     with pytest.raises(NotImplementedError):
