@@ -11,6 +11,14 @@ TPU rebuild of the reference entry point (reference `predict_diff.py:34-92`):
 
 The sampler is a jitted `lax.scan` with the cond/uncond CFG branches batched into a
 single U-Net call (configs/config_predict.yaml `batched_cfg`).
+
+The generation loop is pipelined one batch deep: batch k+1's H2D upload and
+sampler programs are dispatched (async) before batch k's images are read back
+and PNG-encoded, and the PNG quantization to uint8 runs on device so the
+readback moves 4x fewer bytes — on slow-transfer terminals (axon tunnel,
+~25-30 MB/s each way) the transfers would otherwise dominate the serving-mode
+compute (measured: tools/predict_probe.py). `+compact_transfer=true`
+additionally uploads the conditioning as uint8 seg indices + f16 style.
 """
 
 from __future__ import annotations
@@ -239,6 +247,39 @@ def main(argv: list[str]) -> None:
         sample = jax.jit(make_sample_fn(model, schedule, sampler_cfg),
                          in_shardings=(rep, dp, None), out_shardings=dp)
 
+    # device-side uint8 conversion: the PNG quantization ((x+1)*127.5, trunc)
+    # runs on device so the D2H readback is 4x smaller — on slow-transfer
+    # terminals (the axon tunnel moves ~25-30 MB/s) the float32 image readback
+    # alone costs ~0.2 s/batch, comparable to the serving-mode compute itself
+    to_u8 = jax.jit(lambda x: ((x + 1.0) * 127.5).astype(jnp.uint8),
+                    out_shardings=dp)
+    # `+compact_transfer=true`: H2D the conditioning as uint8 class indices +
+    # float16 style images (~3.5x fewer bytes). The seg one-hot round-trips
+    # exactly (binary channels); the style cast is lossy at f16 resolution
+    # (~5e-4 relative — far below the serving mode's own approximation), so
+    # this stays opt-in and default-off to keep the exact path bit-exact.
+    compact = bool(cfg.get("compact_transfer", False))
+    expand = jax.jit(
+        lambda seg_idx, style: {
+            "segmentation": jax.nn.one_hot(seg_idx, 2, dtype=jnp.float32),
+            "style_imgs": style.astype(jnp.float32)},
+        out_shardings=dp)
+
+    def flush(prev) -> None:
+        """Read back + write one generated batch (the previous one — see loop)."""
+        imgs_dev, segs, idxs, n_rows, bi = prev
+        imgs = local_rows(imgs_dev)[:n_rows]  # this process's rows, uint8
+        for img_u8, seg, num in zip(imgs, segs, idxs):
+            num_str = str(int(num)).zfill(5)
+            Image.fromarray(np.asarray(img_u8)).save(
+                predict_dir / f"img_{num_str}.png")
+            Image.fromarray(seg).save(predict_dir / f"seg_{num_str}.png")
+        print(f"batch {bi}: wrote {n_rows} pairs to {predict_dir}", flush=True)
+
+    # one-batch pipeline: dispatch batch k+1 (H2D + sampler programs are async)
+    # BEFORE reading back batch k, so the D2H transfer and PNG encoding of k
+    # overlap the device computing k+1 instead of serializing with it
+    pending = None
     for batch_idx, np_batch in enumerate(loader_stream):
         ldm_batch = batch_to_ldm(np_batch)
         indices = np.asarray(np_batch[4])
@@ -267,17 +308,22 @@ def main(argv: list[str]) -> None:
             # all processes see the same ragged size (wrap-padded index shards)
             ldm_batch = {k: np.resize(v, (b + pad,) + v.shape[1:])
                          for k, v in ldm_batch.items()}
-        batch = shard_batch(mesh, {k: np.asarray(v) for k, v in ldm_batch.items()
-                                   if k != "image"})
-        imgs = sample(params, batch, jax.random.fold_in(rng, batch_idx))
-        imgs = local_rows(imgs)[:b]  # this process's rows of the global output
+        if compact:
+            cb = shard_batch(mesh, {
+                "seg": np.argmax(ldm_batch["segmentation"], -1).astype(np.uint8),
+                "style": np.asarray(ldm_batch["style_imgs"], np.float16)})
+            batch = expand(cb["seg"], cb["style"])
+        else:
+            batch = shard_batch(mesh, {k: np.asarray(v)
+                                       for k, v in ldm_batch.items()
+                                       if k != "image"})
+        imgs_dev = to_u8(sample(params, batch, jax.random.fold_in(rng, batch_idx)))
         segs = np.argmax(ldm_batch["segmentation"][:b], axis=-1).astype(np.uint8)
-        for img, seg, num in zip(imgs, segs, indices):
-            num_str = str(int(num)).zfill(5)
-            img_u8 = ((img + 1) * 127.5).astype(np.uint8)
-            Image.fromarray(img_u8).save(predict_dir / f"img_{num_str}.png")
-            Image.fromarray(seg).save(predict_dir / f"seg_{num_str}.png")
-        print(f"batch {batch_idx}: wrote {b} pairs to {predict_dir}", flush=True)
+        if pending is not None:
+            flush(pending)
+        pending = (imgs_dev, segs, indices, b, batch_idx)
+    if pending is not None:
+        flush(pending)
 
 
 if __name__ == "__main__":

@@ -183,6 +183,19 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     carry_dir = flowers_dir / "syn_data" / "flowers_carry"
     assert len(list(carry_dir.glob("img_*.png"))) >= 2
 
+    # +compact_transfer: conditioning H2D'd as uint8 class indices + f16 style
+    # (for slow-transfer terminals). The layout path is lossless — seg PNGs must
+    # be byte-identical to the baseline run over the same deterministic loader
+    # order; the f16 style cast may perturb the images themselves.
+    pd.main(overrides + ["data.samples=1", "ddim_steps=4", "cfg_scale=1.5",
+                         "+cfg_interval=[0,0.6]", "+compact_transfer=true",
+                         "+predict_name=flowers_compact"])
+    compact_dir = flowers_dir / "syn_data" / "flowers_compact"
+    compact_segs = sorted(compact_dir.glob("seg_*.png"))
+    assert len(compact_segs) == len(segs)
+    for a, b in zip(segs, compact_segs):
+        assert a.read_bytes() == b.read_bytes(), (a, b)
+
     # generated pairs round-trip through the syn data module
     from stedm_tpu.config import compose
     from stedm_tpu.data.dm import DataModule
