@@ -307,5 +307,39 @@ def main() -> None:
     }))
 
 
+def _acquire_bench_lock(timeout_s: float = 1800.0):
+    """Hold /tmp/stedm_bench.lock for the duration of the bench.
+
+    This host has ONE CPU core; an overlapping measurement job corrupts the
+    host-latency-bound dispatch timing (CLAUDE.md). The sweep/recert scripts
+    already serialize on this flock — acquiring it here too protects ad-hoc
+    and driver-launched `python bench.py` runs. Bounded wait: if another
+    holder won't release within `timeout_s`, proceed with a loud warning
+    rather than stalling the driver forever (the numbers are then suspect).
+    """
+    import fcntl
+
+    if os.environ.get("STEDM_BENCH_LOCK_HELD") == "1":
+        # a parent sweep/batch script already holds the flock and serializes
+        # its children itself — re-acquiring here would deadlock against the
+        # inherited lock (flock owners are open-file-descriptions, so a fresh
+        # open() in the child CONFLICTS with the parent's)
+        return None
+    fh = open("/tmp/stedm_bench.lock", "w")
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return fh  # held until process exit
+        except OSError:
+            if time.time() >= deadline:
+                print("WARNING: /tmp/stedm_bench.lock still held after "
+                      f"{timeout_s:.0f}s — proceeding UNSERIALIZED; treat "
+                      "this run's timings as suspect", file=sys.stderr)
+                return fh
+            time.sleep(5.0)
+
+
 if __name__ == "__main__":
+    _lock = _acquire_bench_lock()
     main()

@@ -108,5 +108,26 @@ def test_defaults_resolve_without_env():
     assert f"refreshes_{n_refresh}" in mode and "cfgint" in mode
 
 
+def test_bench_lock_skipped_when_parent_holds(monkeypatch):
+    # a sweep script that already holds the flock exports this var so its
+    # child bench runs don't deadlock against the inherited lock
+    monkeypatch.setenv("STEDM_BENCH_LOCK_HELD", "1")
+    assert bench._acquire_bench_lock() is None
+
+
+def test_bench_lock_acquired_and_times_out(monkeypatch, tmp_path):
+    import fcntl
+
+    monkeypatch.delenv("STEDM_BENCH_LOCK_HELD", raising=False)
+    fh = bench._acquire_bench_lock(timeout_s=0.0)
+    assert fh is not None
+    # while held, a second (zero-timeout) acquisition warns but proceeds
+    fh2 = bench._acquire_bench_lock(timeout_s=0.0)
+    assert fh2 is not None
+    fcntl.flock(fh, fcntl.LOCK_UN)
+    fh.close()
+    fh2.close()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])

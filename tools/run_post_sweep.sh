@@ -17,6 +17,8 @@
 # Results: /tmp/bench_cs_*.json, /tmp/probe_*.json, /tmp/bench_train.json.
 set -e
 cd "$(dirname "$0")/.."
+# children of this script must not re-acquire the flock bench.py now takes
+export STEDM_BENCH_LOCK_HELD=1
 exec 9>/tmp/stedm_bench.lock
 flock 9 || exit 1
 

@@ -15,6 +15,8 @@
 # --cfg_intervals 0.2:0.8) and (b) solo recertification before any default
 # change (CLAUDE.md protocol). Results: /tmp/bench_cs_{TAG}.json.
 set -e
+# children of this script must not re-acquire the flock bench.py now takes
+export STEDM_BENCH_LOCK_HELD=1
 exec 9>/tmp/stedm_bench.lock
 flock -n 9 || { echo "another bench/sweep holds /tmp/stedm_bench.lock — refusing to overlap (1-core host)" >&2; exit 1; }
 run() {

@@ -9,6 +9,8 @@
 set -e
 # one CPU core on this host: overlapped benches corrupt every measurement
 # (BASELINE.md 2026-08-19 forensics) — refuse to run alongside another.
+# children of this script must not re-acquire the flock bench.py now takes
+export STEDM_BENCH_LOCK_HELD=1
 exec 9>/tmp/stedm_bench.lock
 flock -n 9 || { echo "another bench/sweep holds /tmp/stedm_bench.lock — refusing to overlap (1-core host)" >&2; exit 1; }
 run() {

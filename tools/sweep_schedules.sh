@@ -11,6 +11,8 @@ set -e
 # this script ran concurrently with its original and produced 4-6x-slow
 # readings on every composed point). The lock makes a second launch fail fast
 # instead of silently corrupting both measurements.
+# children of this script must not re-acquire the flock bench.py now takes
+export STEDM_BENCH_LOCK_HELD=1
 exec 9>/tmp/stedm_bench.lock
 flock -n 9 || { echo "another bench/sweep holds /tmp/stedm_bench.lock — refusing to overlap (1-core host)" >&2; exit 1; }
 run() {

@@ -5,6 +5,8 @@
 set -e
 # serialize against any other bench/sweep (see sweep_schedules.sh: overlapping
 # benches on this 1-core host corrupted a whole sweep's timings)
+# children of this script must not re-acquire the flock bench.py now takes
+export STEDM_BENCH_LOCK_HELD=1
 exec 9>/tmp/stedm_bench.lock
 flock -n 9 || { echo "another bench/sweep holds /tmp/stedm_bench.lock — refusing to overlap (1-core host)" >&2; exit 1; }
 for cfg in "3 1" "2 1" "3 2" "2 2"; do
