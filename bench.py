@@ -28,7 +28,18 @@ it claims to be, and the JSON line always carries the exact-trajectory numbers
 FLOPs-derived): per-image FLOPs are taken from XLA's cost analysis of the same
 jitted programs, and the A100 reference rate assumes 312 TFLOP/s dense bf16 at 40%
 MFU — generous for the reference's unfused eager pipeline with two separate U-Net
-calls per step (reference ddim.py:177-178).
+calls per step (reference ddim.py:177-178). ``vs_baseline_realistic`` divides by
+the realistic bound instead (TF32 convs — torch's actual default for the
+reference's plain-fp32 pipeline — 156 TF/s peak at the same MFU).
+
+Serialization: this host has ONE CPU core, so bench.py acquires
+/tmp/stedm_bench.lock itself (override path: STEDM_BENCH_LOCK_PATH; wait bound:
+STEDM_BENCH_LOCK_TIMEOUT, default 1800 s). Do NOT wrap bench.py in an outer
+`flock` — the child would spin against the parent's lock for the full timeout
+and then run unserialized anyway. A sweep/batch script that already holds the
+flock and serializes its children must export STEDM_BENCH_LOCK_HELD=1 instead.
+The JSON line carries the outcome in its ``lock`` field ("held" / "inherited" /
+"unserialized") so a driver can reject numbers from an unserialized run.
 """
 
 from __future__ import annotations
@@ -75,7 +86,63 @@ CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "0.2:0.8")
 # 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
 UNROLL = int(os.environ.get("STEDM_BENCH_UNROLL", 10)) or None
 A100_BF16_FLOPS = 312e12
+A100_TF32_FLOPS = 156e12  # torch's default conv math for the reference's fp32 pipeline
 A100_MFU = 0.40
+
+# ---- serving-mode quality certificate (VERDICT r3 task 7) -------------------
+# The written budget (BASELINE.md "Budget and default" + the round-3
+# default-change criteria): the serving config's cached-vs-exact FID_rp on the
+# trained tiny model must stay at least an order of magnitude below the
+# metric's own same-distribution noise floor. The pricing runs are offline
+# (tools/deepcache_quality.py, 256 samples/set); this table pins the measured
+# numbers for every priced (schedule, interval, cfg_interval) point at
+# cache_levels=1 so the bench JSON carries its own quality certificate instead
+# of pointing at BASELINE.md prose. An UNPRICED config gets
+# quality_budget_pass=false — run the pricing protocol before trusting it.
+FID_NOISE_FLOOR = 0.0466      # real-vs-real fresh draws, same featurizer
+FID_BUDGET = FID_NOISE_FLOOR / 10.0
+PRICED_FID_RP = {
+    # (cache_schedule_spec, cache_interval, cfg_interval_str) -> FID_rp
+    ("", 2, ""): 0.0002, ("", 3, ""): 0.0004, ("", 5, ""): 0.0005,
+    ("auto:10", 0, ""): 0.0005, ("auto:13", 0, ""): 0.0004,
+    ("auto:17", 0, ""): 0.0003, ("quad:13", 0, ""): 0.0005,
+    ("", 3, "0:0.6"): 0.0004, ("", 3, "0.2:0.8"): 0.0003,
+    ("", 3, "0.4:1"): 0.0004,
+    ("auto:8", 0, "0.2:0.8"): 0.0005, ("auto:7", 0, "0.2:0.8"): 0.0006,
+    ("auto:6", 0, "0.2:0.8"): 0.0006, ("auto:5", 0, "0.2:0.8"): 0.0008,
+    # cfg window alone (cache off) measured 0.0000 for every tested window
+    ("", 1, "0:0.6"): 0.0, ("", 1, "0.2:0.8"): 0.0, ("", 1, "0.2:1"): 0.0,
+    ("", 1, "0.4:1"): 0.0,
+}
+
+
+def quality_certificate(schedule_spec: str, cache_interval: int,
+                        cache_levels: int, cfg_interval_str: str) -> dict:
+    """Self-contained quality fields for the bench JSON line.
+
+    Looks the resolved serving config up in the offline pricing table
+    (BASELINE.md round-3, trained tiny model). `fid_rp` is None — and
+    `quality_budget_pass` False — for configurations the pricing protocol has
+    never run on; levels>1 points were priced only at the FID level
+    ("below noise floor", no headline default uses them) so they also report
+    unpriced here."""
+    key = (schedule_spec, 0 if schedule_spec else cache_interval,
+           cfg_interval_str)
+    fid = PRICED_FID_RP.get(key) if cache_levels == 1 else None
+    exact = (not schedule_spec and cache_interval <= 1
+             and not cfg_interval_str)
+    return {
+        "fid_noise_floor": FID_NOISE_FLOOR,
+        "fid_budget": round(FID_BUDGET, 5),
+        "cached_vs_exact_fid_rp": fid,
+        "quality_budget_pass": bool(exact or (fid is not None
+                                              and fid < FID_BUDGET)),
+        "quality_pricing": ("exact reference trajectory" if exact else
+                            "unpriced — run tools/deepcache_quality.py"
+                            if fid is None else
+                            "tools/deepcache_quality.py, trained tiny model, "
+                            "256 samples/set (BASELINE.md round-3)"),
+    }
 
 
 def warm(fn, *args, attempts=4):
@@ -186,9 +253,19 @@ def main() -> None:
     base = dict(ddim_steps=STEPS, eta=0.0, cfg_scale=1.5, rescale_phi=0.7,
                 batched_cfg=True, downsample=4)
 
+    calib_src = ["none"]
+
     def calibrate():
+        # STEDM_BENCH_DRIFT_NPY: use a pre-measured drift profile (e.g. from a
+        # trained checkpoint via train/calibrate.py) instead of calibrating on
+        # the untrained in-process flagship; the JSON records which one ran
+        drift_npy = os.environ.get("STEDM_BENCH_DRIFT_NPY")
+        if drift_npy:
+            calib_src[0] = f"pre-measured drift profile ({drift_npy})"
+            return np.load(drift_npy)
         from stedm_tpu.train.calibrate import measure_cache_drift
 
+        calib_src[0] = "bench-time calibration on the untrained in-process flagship"
         return measure_cache_drift(model, schedule, SamplerConfig(**base),
                                    params, batch, jax.random.PRNGKey(42))
 
@@ -287,59 +364,100 @@ def main() -> None:
         # fallback: hand-estimated ~0.17 TFLOPs/U-Net pass x 100 passes + decode
         baseline = A100_BF16_FLOPS * A100_MFU / (0.17e12 * 2 * STEPS + 0.4e12)
     vs_baseline = imgs_per_sec / baseline
+    # realistic reference bound: same FLOPs, TF32 conv peak (BASELINE.md
+    # "Analytic A100 reference bounds") — the multiple the reference's actual
+    # (plain-fp32 torch) pipeline would concede
+    baseline_realistic = baseline * (A100_TF32_FLOPS / A100_BF16_FLOPS)
 
-    # machine-readable-honest record (VERDICT r2 weak #3): the headline `value`
-    # is the serving mode, so the JSON itself carries the mode label AND the
-    # exact-reference-trajectory numbers — stderr is not the durable record
+    # quality certificate for the RESOLVED config (resolve_serving may have
+    # fallen back from a failing schedule spec)
+    r_spec = CACHE_SCHEDULE if "cache_schedule" in serving else ""
+    r_cfg = CFG_INTERVAL if "cfg_interval" in serving else ""
+    r_interval = 0 if r_spec else serving.get("cache_interval", CACHE_INTERVAL)
+    cert = quality_certificate(r_spec, r_interval, CACHE_LEVELS, r_cfg)
+
+    # machine-readable-honest record (VERDICT r2 weak #3, r3 task 7): the
+    # headline `value` is the serving mode, so the JSON itself carries the mode
+    # label, the exact-reference-trajectory numbers, the resolved refresh
+    # placement + calibration provenance, both baseline bounds, and its own
+    # quality certificate — stderr/BASELINE.md prose are not the durable record
     print(json.dumps({
         "metric": "256x256 DDIM-50 CFG sampling throughput",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline_realistic": round(imgs_per_sec / baseline_realistic, 4),
         "mode": mode,
         "exact_value": round(exact_ips, 4),
         "exact_vs_baseline": round(exact_ips / baseline, 4),
+        "exact_vs_baseline_realistic": round(exact_ips / baseline_realistic, 4),
         "cached_vs_exact_psnr_db": round(psnr, 2),
+        "refresh_positions": [int(p) for p in serving["cache_schedule"]]
+                             if "cache_schedule" in serving else None,
+        "calibration": calib_src[0],
+        **cert,
         # all timing rounds (best-of wins the headline): the tunnel's
         # one-sided host jitter makes single rounds untrustworthy
         "value_reps": [round(v, 4) for v in serving_reps],
         "exact_value_reps": [round(v, 4) for v in exact_reps],
+        # serialization outcome ("held"/"inherited"/"unserialized"/"not-acquired"):
+        # numbers from an unserialized run on this 1-core host are suspect
+        "lock": LOCK_STATUS[0],
     }))
 
 
-def _acquire_bench_lock(timeout_s: float = 1800.0):
-    """Hold /tmp/stedm_bench.lock for the duration of the bench.
+# set by __main__ before main() runs; "not-acquired" means main() was called
+# as a library function (tests) without going through the lock
+LOCK_STATUS = ["not-acquired"]
+
+
+def _acquire_bench_lock(timeout_s: float | None = None,
+                        path: str | None = None):
+    """Hold the bench flock for the duration of the bench.
 
     This host has ONE CPU core; an overlapping measurement job corrupts the
     host-latency-bound dispatch timing (CLAUDE.md). The sweep/recert scripts
     already serialize on this flock — acquiring it here too protects ad-hoc
-    and driver-launched `python bench.py` runs. Bounded wait: if another
-    holder won't release within `timeout_s`, proceed with a loud warning
-    rather than stalling the driver forever (the numbers are then suspect).
+    and driver-launched `python bench.py` runs. Do NOT wrap bench.py in an
+    outer `flock` utility (the child would spin against the parent for the
+    whole timeout); a parent that already holds the lock exports
+    STEDM_BENCH_LOCK_HELD=1. Bounded wait: if another holder won't release
+    within `timeout_s` (env STEDM_BENCH_LOCK_TIMEOUT, default 1800 s),
+    proceed with a loud warning rather than stalling the driver forever —
+    the "unserialized" status then travels in the JSON line so the numbers
+    can't be silently ingested as clean.
+
+    Returns ``(fh_or_None, status)`` with status in {"held", "inherited",
+    "unserialized"}. Lock path: `path` arg, else STEDM_BENCH_LOCK_PATH, else
+    /tmp/stedm_bench.lock (parameterized so tests never touch the real lock).
     """
     import fcntl
 
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("STEDM_BENCH_LOCK_TIMEOUT", 1800.0))
+    path = path or os.environ.get("STEDM_BENCH_LOCK_PATH",
+                                  "/tmp/stedm_bench.lock")
     if os.environ.get("STEDM_BENCH_LOCK_HELD") == "1":
         # a parent sweep/batch script already holds the flock and serializes
         # its children itself — re-acquiring here would deadlock against the
         # inherited lock (flock owners are open-file-descriptions, so a fresh
         # open() in the child CONFLICTS with the parent's)
-        return None
-    fh = open("/tmp/stedm_bench.lock", "w")
+        return None, "inherited"
+    fh = open(path, "w")
     deadline = time.time() + timeout_s
     while True:
         try:
             fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            return fh  # held until process exit
+            return fh, "held"  # held until process exit
         except OSError:
             if time.time() >= deadline:
-                print("WARNING: /tmp/stedm_bench.lock still held after "
+                print(f"WARNING: {path} still held after "
                       f"{timeout_s:.0f}s — proceeding UNSERIALIZED; treat "
                       "this run's timings as suspect", file=sys.stderr)
-                return fh
+                return fh, "unserialized"
             time.sleep(5.0)
 
 
 if __name__ == "__main__":
-    _lock = _acquire_bench_lock()
+    _lock, LOCK_STATUS[0] = _acquire_bench_lock()
     main()

@@ -112,21 +112,65 @@ def test_bench_lock_skipped_when_parent_holds(monkeypatch):
     # a sweep script that already holds the flock exports this var so its
     # child bench runs don't deadlock against the inherited lock
     monkeypatch.setenv("STEDM_BENCH_LOCK_HELD", "1")
-    assert bench._acquire_bench_lock() is None
+    fh, status = bench._acquire_bench_lock()
+    assert fh is None and status == "inherited"
 
 
 def test_bench_lock_acquired_and_times_out(monkeypatch, tmp_path):
+    # points at tmp_path (never the production /tmp/stedm_bench.lock — a test
+    # run must not make a concurrent `flock -n` sweep launch refuse)
     import fcntl
 
     monkeypatch.delenv("STEDM_BENCH_LOCK_HELD", raising=False)
-    fh = bench._acquire_bench_lock(timeout_s=0.0)
-    assert fh is not None
-    # while held, a second (zero-timeout) acquisition warns but proceeds
-    fh2 = bench._acquire_bench_lock(timeout_s=0.0)
-    assert fh2 is not None
+    lock = str(tmp_path / "bench.lock")
+    fh, status = bench._acquire_bench_lock(timeout_s=0.0, path=lock)
+    assert fh is not None and status == "held"
+    # prove acquisition actually happened: an independent fd can't take it
+    probe = open(lock, "w")
+    with pytest.raises(OSError):
+        fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    # while held, a second (zero-timeout) acquisition warns but proceeds,
+    # and says so in its status — the JSON `lock` field carries this
+    fh2, status2 = bench._acquire_bench_lock(timeout_s=0.0, path=lock)
+    assert fh2 is not None and status2 == "unserialized"
     fcntl.flock(fh, fcntl.LOCK_UN)
     fh.close()
     fh2.close()
+    probe.close()
+
+
+def test_bench_lock_path_env_override(monkeypatch, tmp_path):
+    monkeypatch.delenv("STEDM_BENCH_LOCK_HELD", raising=False)
+    monkeypatch.setenv("STEDM_BENCH_LOCK_PATH", str(tmp_path / "env.lock"))
+    fh, status = bench._acquire_bench_lock(timeout_s=0.0)
+    assert status == "held" and (tmp_path / "env.lock").exists()
+    fh.close()
+
+
+def test_quality_certificate_default_config_passes():
+    # the shipped bench default must be a priced, budget-passing point
+    cert = bench.quality_certificate(bench.CACHE_SCHEDULE, 0,
+                                     bench.CACHE_LEVELS, bench.CFG_INTERVAL)
+    assert cert["quality_budget_pass"] is True
+    assert cert["cached_vs_exact_fid_rp"] is not None
+    assert cert["cached_vs_exact_fid_rp"] < cert["fid_budget"]
+    assert cert["fid_budget"] == pytest.approx(bench.FID_NOISE_FLOOR / 10, rel=1e-3)
+
+
+def test_quality_certificate_unpriced_config_fails():
+    cert = bench.quality_certificate("auto:2", 0, 1, "0.2:0.8")
+    assert cert["quality_budget_pass"] is False
+    assert cert["cached_vs_exact_fid_rp"] is None
+    assert "unpriced" in cert["quality_pricing"]
+    # levels>1 points were never FID-priced per-config either
+    cert2 = bench.quality_certificate("", 3, 2, "")
+    assert cert2["quality_budget_pass"] is False
+
+
+def test_quality_certificate_exact_mode_trivially_passes():
+    cert = bench.quality_certificate("", 1, 1, "")
+    assert cert["quality_budget_pass"] is True
+    assert cert["quality_pricing"] == "exact reference trajectory"
 
 
 if __name__ == "__main__":
