@@ -160,11 +160,16 @@ class SegUNet(nn.Module):
     classes: int = 2
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Dtype = jnp.float32
+    # MiTEncoder overrides (embed_dims/depths/num_heads/sr_ratios) for tiny
+    # test/dryrun variants; None keeps the reference's MiT-B2 sizing
+    # (reference modules/segmentation.py:39-42)
+    encoder_config: dict | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_dtype = x.dtype
-        feats = MiTEncoder(dtype=self.dtype, name="encoder")(x.astype(self.dtype))
+        feats = MiTEncoder(dtype=self.dtype, name="encoder",
+                           **(self.encoder_config or {}))(x.astype(self.dtype))
         # feats strides: 4, 8, 16, 32 -> decode back up to stride 1
         h = feats[-1]
         skips = [feats[2], feats[1], feats[0], None, None]
