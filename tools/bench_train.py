@@ -36,13 +36,18 @@ def main() -> None:
                     help="grad accumulation (reference train_diff.py:76); "
                          "1 bypasses optax MultiSteps' lax.cond")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize U-Net ResBlocks under grad "
+                         "(unet.use_checkpoint) — trades FLOPs for HBM")
+    ap.add_argument("--no_cost", action="store_true",
+                    help="skip the XLA cost analysis (saves one AOT lowering)")
     args = ap.parse_args()
 
     import tools.profile_sampler as ps
 
     ps.PATCH = args.patch
     ps.BATCH = args.batch
-    model = ps.build_model()
+    model = ps.build_model(use_checkpoint=args.remat)
     params = ps.shape_init_params(model)
     print(f"backend: {jax.devices()[0]}; params ready", file=sys.stderr)
 
@@ -64,6 +69,26 @@ def main() -> None:
                                   jnp.float32),
     }
 
+    # XLA cost analysis of the SAME jitted program that gets timed (VERDICT r3
+    # task 2: training deserves the FLOP/MFU accounting the sampler has).
+    # Under optax MultiSteps the module contains a lax.cond whose two branches
+    # (accumulate vs apply) the analysis may both count once — with accum=1
+    # there is no cond and the number is exact; report both alongside.
+    flops_per_step = None
+    if not args.no_cost:
+        try:
+            cost = (jax.jit(make_train_step(model, schedule, tx))
+                    .lower(state, batch, jax.random.PRNGKey(0))
+                    .compile().cost_analysis())
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops_per_step = float(cost.get("flops", 0.0))
+            print(f"XLA cost analysis: {flops_per_step / 1e12:.2f} TF/step "
+                  f"({flops_per_step / (b * 1e12):.2f} TF/sample)",
+                  file=sys.stderr)
+        except Exception as e:  # keep the timing usable if AOT costing fails
+            print(f"cost analysis unavailable: {e!r}", file=sys.stderr)
+
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     state, metrics = step(state, batch, key)
@@ -80,13 +105,21 @@ def main() -> None:
     total = float(jnp.stack(losses).sum())  # dependent readback stops the clock
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
-    print(json.dumps({
+    V5E_BF16_PEAK = 197e12
+    out = {
         "metric": f"{p}x{p} training throughput",
         "value": round(b * args.iters / dt, 3),
         "unit": "samples/sec/chip",
         "ms_per_step": round(1e3 * dt / args.iters, 1),
         "accum": args.accum,
-    }))
+        "remat": bool(args.remat),
+    }
+    if flops_per_step:
+        rate = flops_per_step * args.iters / dt
+        out["tf_per_step"] = round(flops_per_step / 1e12, 2)
+        out["achieved_tf_s"] = round(rate / 1e12, 1)
+        out["mfu_vs_v5e_bf16_peak"] = round(rate / V5E_BF16_PEAK, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
