@@ -363,7 +363,22 @@ def main() -> None:
     except Exception:
         # fallback: hand-estimated ~0.17 TFLOPs/U-Net pass x 100 passes + decode
         baseline = A100_BF16_FLOPS * A100_MFU / (0.17e12 * 2 * STEPS + 0.4e12)
-    vs_baseline = imgs_per_sec / baseline
+    print(json.dumps(assemble_record(
+        imgs_per_sec=imgs_per_sec, exact_ips=exact_ips, baseline=baseline,
+        psnr=psnr, mode=mode, serving=serving, calibration=calib_src[0],
+        serving_reps=serving_reps, exact_reps=exact_reps)))
+
+
+def assemble_record(*, imgs_per_sec: float, exact_ips: float, baseline: float,
+                    psnr: float, mode: str, serving: dict, calibration: str,
+                    serving_reps, exact_reps) -> dict:
+    """The machine-readable-honest bench record (VERDICT r2 weak #3, r3 task
+    7): the headline `value` is the serving mode, so the JSON itself carries
+    the mode label, the exact-reference-trajectory numbers, the resolved
+    refresh placement + calibration provenance, BOTH baseline bounds
+    (optimistic bf16 + realistic TF32), and its own quality certificate —
+    stderr/BASELINE.md prose are not the durable record. Schema-tested in
+    tests/test_bench_config.py."""
     # realistic reference bound: same FLOPs, TF32 conv peak (BASELINE.md
     # "Analytic A100 reference bounds") — the multiple the reference's actual
     # (plain-fp32 torch) pipeline would concede
@@ -376,16 +391,11 @@ def main() -> None:
     r_interval = 0 if r_spec else serving.get("cache_interval", CACHE_INTERVAL)
     cert = quality_certificate(r_spec, r_interval, CACHE_LEVELS, r_cfg)
 
-    # machine-readable-honest record (VERDICT r2 weak #3, r3 task 7): the
-    # headline `value` is the serving mode, so the JSON itself carries the mode
-    # label, the exact-reference-trajectory numbers, the resolved refresh
-    # placement + calibration provenance, both baseline bounds, and its own
-    # quality certificate — stderr/BASELINE.md prose are not the durable record
-    print(json.dumps({
+    return {
         "metric": "256x256 DDIM-50 CFG sampling throughput",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
-        "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline": round(imgs_per_sec / baseline, 4),
         "vs_baseline_realistic": round(imgs_per_sec / baseline_realistic, 4),
         "mode": mode,
         "exact_value": round(exact_ips, 4),
@@ -394,16 +404,17 @@ def main() -> None:
         "cached_vs_exact_psnr_db": round(psnr, 2),
         "refresh_positions": [int(p) for p in serving["cache_schedule"]]
                              if "cache_schedule" in serving else None,
-        "calibration": calib_src[0],
+        "calibration": calibration,
         **cert,
         # all timing rounds (best-of wins the headline): the tunnel's
         # one-sided host jitter makes single rounds untrustworthy
         "value_reps": [round(v, 4) for v in serving_reps],
         "exact_value_reps": [round(v, 4) for v in exact_reps],
-        # serialization outcome ("held"/"inherited"/"unserialized"/"not-acquired"):
-        # numbers from an unserialized run on this 1-core host are suspect
+        # serialization outcome ("held"/"inherited"/"unserialized"/
+        # "not-acquired"): numbers from an unserialized run on this 1-core
+        # host are suspect
         "lock": LOCK_STATUS[0],
-    }))
+    }
 
 
 # set by __main__ before main() runs; "not-acquired" means main() was called

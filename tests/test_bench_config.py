@@ -173,5 +173,37 @@ def test_quality_certificate_exact_mode_trivially_passes():
     assert cert["quality_pricing"] == "exact reference trajectory"
 
 
+def test_assembled_record_schema():
+    # the durable JSON record must be self-contained: mode + exact numbers,
+    # both baseline bounds, resolved placement + calibration provenance, the
+    # quality certificate, timing reps, and the lock outcome (VERDICT r3 #7)
+    import json
+
+    drift = np.linspace(1.0, 0.1, N_STEPS - 1)
+    serving, mode = bench.resolve_serving(bench.CACHE_SCHEDULE, 3, 1,
+                                          bench.CFG_INTERVAL, N_STEPS,
+                                          calibrate=lambda: drift,
+                                          log=lambda m: None)
+    rec = bench.assemble_record(
+        imgs_per_sec=37.2, exact_ips=7.98, baseline=5.856, psnr=12.7,
+        mode=mode, serving=serving, calibration="bench-time",
+        serving_reps=[33.9, 37.1, 37.2], exact_reps=[7.97, 7.98, 7.98])
+    json.dumps(rec)  # must be serializable
+    for key in ("metric", "value", "unit", "vs_baseline",
+                "vs_baseline_realistic", "mode", "exact_value",
+                "exact_vs_baseline", "exact_vs_baseline_realistic",
+                "cached_vs_exact_psnr_db", "refresh_positions", "calibration",
+                "fid_noise_floor", "fid_budget", "cached_vs_exact_fid_rp",
+                "quality_budget_pass", "quality_pricing", "value_reps",
+                "exact_value_reps", "lock"):
+        assert key in rec, key
+    assert rec["quality_budget_pass"] is True  # shipped default is priced
+    assert rec["refresh_positions"][0] == 0
+    # TF32 realistic bound is half the bf16-optimistic one -> 2x multiple
+    assert rec["vs_baseline_realistic"] == pytest.approx(
+        2 * rec["vs_baseline"], abs=2e-4)  # both independently rounded to 4dp
+    assert rec["exact_vs_baseline"] == pytest.approx(7.98 / 5.856, rel=1e-4)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
