@@ -102,7 +102,7 @@ def build_dm(kind: str, data_dir: Path, patch: int, batch: int,
     if kind == "flowers":
         overrides = [
             "data.patch_size=%d" % patch, "data.batch_size=%d" % batch,
-            "data.samples=4", "data.class_train_samples=8",
+            "data.samples=256", "data.class_train_samples=8",
             "location=pc", f"location.data_dir={data_dir}",
             f"location.n_workers={n_workers}",
             "style_sampling=augmented", "style_agg=mean",
@@ -118,7 +118,7 @@ def build_dm(kind: str, data_dir: Path, patch: int, batch: int,
     else:
         overrides = [
             "data=her2", "data.patch_size=%d" % patch,
-            "data.batch_size=%d" % batch, "data.samples=4",
+            "data.batch_size=%d" % batch, "data.samples=256",
             "data.base_scale=2", "data.lookup_f=8",
             "data.overlap_val=%d" % min(4, patch // 8),
             "data.class_train_samples=8",
