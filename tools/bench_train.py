@@ -143,8 +143,8 @@ def main() -> None:
     t0 = time.perf_counter()
     losses = []
     for i in range(args.iters):
-        b = next(batch_iter) if batch_iter is not None else batch
-        state, metrics = step(state, b, jax.random.fold_in(key, i))
+        cur = next(batch_iter) if batch_iter is not None else batch
+        state, metrics = step(state, cur, jax.random.fold_in(key, i))
         losses.append(metrics["loss"])
     total = float(jnp.stack(losses).sum())  # dependent readback stops the clock
     dt = time.perf_counter() - t0
