@@ -187,13 +187,22 @@ def main() -> None:
             trees["flowers"] = make_flowers_tree(tmp / "f",
                                                  size=args.flowers_src)
         if "her2" in args.paths:
-            trees["her2"] = make_her2_tree(tmp / "h")
+            # slide must comfortably contain patch*base_scale with sampling
+            # margins or the per-class position pools come up empty
+            trees["her2"] = make_her2_tree(tmp / "h",
+                                           slide=max(4096, 8 * args.patch))
         for kind, tree in trees.items():
             for w in args.workers:
-                dm = build_dm(kind, tree, args.patch, args.batch, w)
-                rate, bsz, h2d_rate = time_loader(dm, args.batches,
-                                                  h2d=args.h2d)
                 key = f"{kind}_w{w}"
+                try:
+                    dm = build_dm(kind, tree, args.patch, args.batch, w)
+                    rate, bsz, h2d_rate = time_loader(dm, args.batches,
+                                                      h2d=args.h2d)
+                except Exception as e:  # record, keep the other configs
+                    results[key] = f"error: {e!r}"
+                    print(f"{kind} workers={w}: FAILED {e!r}",
+                          file=sys.stderr, flush=True)
+                    continue
                 results[key] = round(rate, 2)
                 line = (f"{kind:8s} workers={w}: {rate:7.2f} samples/s "
                         f"(batch {bsz}, {args.patch}²)")
