@@ -11,8 +11,8 @@ The headline number uses the framework's serving mode: cross-step deep-feature
 reuse (DeepCache-style) with drift-calibrated non-uniform refresh placement
 (`cache_schedule=auto:5` — per-step trunk drift is measured on THIS model at
 bench time and 5 refreshes are placed by exact DP, `core/cache_schedule.py`)
-composed with a guidance window (`cfg_interval=(0.2, 0.8)`, arXiv 2404.07724 —
-CFG only on the middle 60% of the trajectory; outside it the uncond half of the
+composed with a guidance window (`cfg_interval=(0.3, 0.7)`, arXiv 2404.07724 —
+CFG only on the middle 40% of the trajectory; outside it the uncond half of the
 shared-encoder fan-out is skipped). Both knobs are priced at the distribution
 level on a trained model (BASELINE.md round-3 tables: cached-vs-exact FID_rp
 ~100x below the metric's same-distribution noise floor, for the composed
@@ -68,19 +68,20 @@ CACHE_LEVELS = int(os.environ.get("STEDM_BENCH_LEVELS", 1))
 # non-uniform refresh placement (core/cache_schedule.py spec, e.g. "quad:13",
 # "uniform:5", "0,3,8,...", or "auto:R" to calibrate drift on this model);
 # empty = uniform every CACHE_INTERVAL steps. Default auto:5 — the certified
-# round-3 frontier (BASELINE.md 2026-08-19 tables: 37.29 img/s composed with
-# the guidance window below, solo-recertified; the fastest point whose
-# trained-model cached-vs-exact FID_rp stays ≥1 order of magnitude below the
-# metric's same-distribution noise floor — 0.0008 vs 0.047). Falls back to
+# frontier schedule (BASELINE.md: 37.29 img/s composed with the 0.2:0.8 window
+# in round 3; 38.73 img/s with the round-4 0.3:0.7 window below — both priced,
+# trained-model cached-vs-exact FID_rp ≥1 order of magnitude below the
+# metric's same-distribution noise floor). Falls back to
 # uniform CACHE_INTERVAL if calibration fails.
 CACHE_SCHEDULE = os.environ.get("STEDM_BENCH_SCHEDULE", "auto:5")
 # guidance interval (arXiv 2404.07724, core/ddim.py:ddim_sample_guided), e.g.
 # "0:0.6": CFG only on that fraction of the trajectory; outside it the uncond
 # half of the shared-encoder fan-out is skipped. Empty = guide every step
-# (the reference behavior). Composes with the cache knobs above; the 0.2:0.8
-# default is priced on the trained tiny model (BASELINE.md: composing it with
-# the trunk cache does not degrade — it slightly improves paired PSNR).
-CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "0.2:0.8")
+# (the reference behavior). Composes with the cache knobs above; the 0.3:0.7
+# default is priced on the trained tiny model (BASELINE.md round-4: composed
+# with auto:5 its cached-vs-exact FID_rp is 0.0007, 6.7x under budget, and it
+# beat the round-3 0.2:0.8 window 38.73 vs 37.14 img/s solo under the flock).
+CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "0.3:0.7")
 # host-sampler steps per dispatched block. Swept on-chip (2026-08-17):
 # unroll 10 / batch 8 won — exact 7.97 img/s, serving 18.05 (unroll 5:
 # 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
@@ -110,9 +111,11 @@ PRICED_FID_RP = {
     ("", 3, "0.4:1"): 0.0004,
     ("auto:8", 0, "0.2:0.8"): 0.0005, ("auto:7", 0, "0.2:0.8"): 0.0006,
     ("auto:6", 0, "0.2:0.8"): 0.0006, ("auto:5", 0, "0.2:0.8"): 0.0008,
+    # round-4 pricing (same protocol, 2026-08-20): the tighter window
+    ("", 3, "0.3:0.7"): 0.0004, ("auto:5", 0, "0.3:0.7"): 0.0007,
     # cfg window alone (cache off) measured 0.0000 for every tested window
     ("", 1, "0:0.6"): 0.0, ("", 1, "0.2:0.8"): 0.0, ("", 1, "0.2:1"): 0.0,
-    ("", 1, "0.4:1"): 0.0,
+    ("", 1, "0.4:1"): 0.0, ("", 1, "0.3:0.7"): 0.0,
 }
 
 

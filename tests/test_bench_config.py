@@ -100,11 +100,12 @@ def test_defaults_resolve_without_env():
     spec = bench.CACHE_SCHEDULE or "auto:5"
     assert spec.startswith("auto:")
     n_refresh = int(spec.split(":")[1])
-    serving, mode, _ = _resolve(spec=spec,
-                                cfg=bench.CFG_INTERVAL or "0.2:0.8",
+    cfg_str = bench.CFG_INTERVAL or "0.3:0.7"
+    lo, _, hi = cfg_str.partition(":")
+    serving, mode, _ = _resolve(spec=spec, cfg=cfg_str,
                                 calibrate=lambda: drift)
     assert len(serving["cache_schedule"]) == n_refresh
-    assert serving["cfg_interval"] == (0.2, 0.8)
+    assert serving["cfg_interval"] == (float(lo), float(hi))
     assert f"refreshes_{n_refresh}" in mode and "cfgint" in mode
 
 
