@@ -111,11 +111,13 @@ PRICED_FID_RP = {
     ("", 3, "0.4:1"): 0.0004,
     ("auto:8", 0, "0.2:0.8"): 0.0005, ("auto:7", 0, "0.2:0.8"): 0.0006,
     ("auto:6", 0, "0.2:0.8"): 0.0006, ("auto:5", 0, "0.2:0.8"): 0.0008,
-    # round-4 pricing (same protocol, 2026-08-20): the tighter window
+    # round-4 pricing (same protocol, 2026-08-20): tighter windows
     ("", 3, "0.3:0.7"): 0.0004, ("auto:5", 0, "0.3:0.7"): 0.0007,
+    ("", 3, "0.35:0.65"): 0.0004, ("auto:5", 0, "0.35:0.65"): 0.0008,
     # cfg window alone (cache off) measured 0.0000 for every tested window
     ("", 1, "0:0.6"): 0.0, ("", 1, "0.2:0.8"): 0.0, ("", 1, "0.2:1"): 0.0,
     ("", 1, "0.4:1"): 0.0, ("", 1, "0.3:0.7"): 0.0,
+    ("", 1, "0.35:0.65"): 0.0,
 }
 
 
