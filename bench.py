@@ -40,6 +40,17 @@ and then run unserialized anyway. A sweep/batch script that already holds the
 flock and serializes its children must export STEDM_BENCH_LOCK_HELD=1 instead.
 The JSON line carries the outcome in its ``lock`` field ("held" / "inherited" /
 "unserialized") so a driver can reject numbers from an unserialized run.
+
+Critical-path budget (VERDICT r4 task 1 — BENCH_r04.json was rc=124 because
+slow tunnel work sat between the timing rounds and the JSON print): everything
+slow is resolved BEFORE the timed section and served from committed assets —
+the `auto:R` drift profile loads from tools/bench_assets/
+drift_untrained_flagship.npy (bench-time calibration is opt-in via
+STEDM_BENCH_CALIBRATE=1; STEDM_BENCH_DRIFT_NPY still points at a checkpoint
+-specific profile) and the analytic-baseline FLOPs load from tools/
+bench_assets/flops_cache.json (recompute + refresh with STEDM_BENCH_RECOST=1;
+a cache miss computes before timing, never after). After the last timing
+round the only remaining work is arithmetic and the JSON print.
 """
 
 from __future__ import annotations
@@ -148,6 +159,13 @@ def quality_certificate(schedule_spec: str, cache_interval: int,
                             "tools/deepcache_quality.py, trained tiny model, "
                             "256 samples/set (BASELINE.md round-3)"),
     }
+
+
+# committed critical-path assets (tools/save_bench_assets.py, VERDICT r4 task 1)
+_ASSETS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "bench_assets")
+DEFAULT_DRIFT_NPY = os.path.join(_ASSETS_DIR, "drift_untrained_flagship.npy")
+FLOPS_CACHE_PATH = os.path.join(_ASSETS_DIR, "flops_cache.json")
 
 
 def warm(fn, *args, attempts=4):
@@ -261,13 +279,27 @@ def main() -> None:
     calib_src = ["none"]
 
     def calibrate():
-        # STEDM_BENCH_DRIFT_NPY: use a pre-measured drift profile (e.g. from a
-        # trained checkpoint via train/calibrate.py) instead of calibrating on
-        # the untrained in-process flagship; the JSON records which one ran
+        # resolution order (VERDICT r4 task 1 — calibration must not sit on
+        # the bench critical path):
+        #   1. STEDM_BENCH_DRIFT_NPY: an explicit pre-measured profile (e.g.
+        #      from a trained checkpoint via tools/calibrate_flagship.py);
+        #   2. STEDM_BENCH_CALIBRATE=1: the old bench-time calibration on the
+        #      untrained in-process flagship (49 eps evaluations — minutes
+        #      through the remote tunnel), now opt-in;
+        #   3. the committed default profile (same model/inputs as 2, measured
+        #      once on the real chip by tools/save_bench_assets.py).
+        # The JSON's `calibration` field records which one ran.
         drift_npy = os.environ.get("STEDM_BENCH_DRIFT_NPY")
         if drift_npy:
             calib_src[0] = f"pre-measured drift profile ({drift_npy})"
             return np.load(drift_npy)
+        if (os.environ.get("STEDM_BENCH_CALIBRATE") != "1"
+                and os.path.exists(DEFAULT_DRIFT_NPY)):
+            calib_src[0] = ("committed default drift profile "
+                            "(tools/bench_assets/drift_untrained_flagship.npy,"
+                            " untrained flagship, measured on-chip by "
+                            "tools/save_bench_assets.py)")
+            return np.load(DEFAULT_DRIFT_NPY)
         from stedm_tpu.train.calibrate import measure_cache_drift
 
         calib_src[0] = "bench-time calibration on the untrained in-process flagship"
@@ -294,6 +326,15 @@ def main() -> None:
                                               SamplerConfig(**base)))
         sample = jax.jit(make_sample_fn(
             model, schedule, SamplerConfig(**serving, **base)))
+
+    # analytic A100 baseline — resolved BEFORE the timed section so nothing
+    # slow stands between the last timing round and the JSON print
+    # (BENCH_r04.json died exactly there: rc=124, parsed=null)
+    flops_per_image, flops_src = resolve_flops(model, params, batch)
+    baseline = A100_BF16_FLOPS * A100_MFU / flops_per_image
+    print(f"analytic baseline: {flops_per_image / 1e12:.3f} TF/image "
+          f"-> {baseline:.3f} img/s A100-bf16 bound ({flops_src})",
+          file=sys.stderr)
 
     mean = jax.jit(lambda x: x.mean())
 
@@ -339,9 +380,41 @@ def main() -> None:
     print(f"exact-trajectory (cache off): {exact_ips:.3f} img/s; "
           f"cached-vs-exact PSNR {psnr:.1f} dB ({mode})",
           file=sys.stderr)
+    # JSON line immediately — everything below this point is arithmetic
+    print(json.dumps(assemble_record(
+        imgs_per_sec=imgs_per_sec, exact_ips=exact_ips, baseline=baseline,
+        psnr=psnr, mode=mode, serving=serving, calibration=calib_src[0],
+        serving_reps=serving_reps, exact_reps=exact_reps,
+        schedule_spec=CACHE_SCHEDULE, cache_interval=CACHE_INTERVAL,
+        cache_levels=CACHE_LEVELS, cfg_interval_str=CFG_INTERVAL,
+        flops_source=flops_src)), flush=True)
 
-    # analytic A100 baseline. XLA cost_analysis counts a scan body ONCE, so cost
-    # the per-step eps call and the decode separately and scale by step count.
+
+def resolve_flops(model, params, batch) -> tuple[float, str]:
+    """Per-image reference-equivalent FLOPs for the analytic A100 baseline.
+
+    XLA cost_analysis counts a scan body ONCE, so the per-step eps call and
+    the VQ decode are costed separately and scaled by the step count. The
+    committed sidecar ``tools/bench_assets/flops_cache.json`` (written on the
+    real chip by tools/save_bench_assets.py) serves the numbers with zero
+    compiles; on a miss — or with STEDM_BENCH_RECOST=1 — the two cost-analysis
+    compiles run HERE, before the timed section, and refresh the sidecar.
+    Never raises: falls back to the hand estimate (~0.17 TF/U-Net pass x 100
+    passes + decode) so the JSON line always prints. Returns
+    ``(flops_per_image, provenance_string)``."""
+    key = f"flagship_b{BATCH}_p{PATCH}"
+    cache: dict = {}
+    try:
+        with open(FLOPS_CACHE_PATH) as f:
+            cache = json.load(f)
+    except Exception:
+        cache = {}
+    if os.environ.get("STEDM_BENCH_RECOST") != "1" and key in cache:
+        ent = cache[key]
+        per_img = (STEPS * float(ent["eps_flops"])
+                   + float(ent["dec_flops"])) / BATCH
+        return per_img, f"committed sidecar flops_cache.json[{key}]"
+
     def _flops(fn, *args) -> float:
         cost = jax.jit(fn).lower(*args).compile().cost_analysis()
         if isinstance(cost, list):
@@ -363,20 +436,28 @@ def main() -> None:
             var, z, t, seg_cond, style)
         dec_flops = _flops(
             lambda v, x: model.apply(v, x, method=model.decode_first_stage), var, z)
-        flops_per_image = (STEPS * eps_flops + dec_flops) / BATCH
-        baseline = A100_BF16_FLOPS * A100_MFU / flops_per_image
-    except Exception:
-        # fallback: hand-estimated ~0.17 TFLOPs/U-Net pass x 100 passes + decode
-        baseline = A100_BF16_FLOPS * A100_MFU / (0.17e12 * 2 * STEPS + 0.4e12)
-    print(json.dumps(assemble_record(
-        imgs_per_sec=imgs_per_sec, exact_ips=exact_ips, baseline=baseline,
-        psnr=psnr, mode=mode, serving=serving, calibration=calib_src[0],
-        serving_reps=serving_reps, exact_reps=exact_reps)))
+        cache[key] = {"eps_flops": eps_flops, "dec_flops": dec_flops,
+                      "backend": jax.default_backend()}
+        try:
+            os.makedirs(_ASSETS_DIR, exist_ok=True)
+            with open(FLOPS_CACHE_PATH, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        return ((STEPS * eps_flops + dec_flops) / BATCH,
+                "cost-analysis computed this run (sidecar refreshed)")
+    except Exception as e:
+        return (0.17e12 * 2 * STEPS + 0.4e12,
+                f"hand estimate (cost analysis failed: {e!r})")
 
 
 def assemble_record(*, imgs_per_sec: float, exact_ips: float, baseline: float,
                     psnr: float, mode: str, serving: dict, calibration: str,
-                    serving_reps, exact_reps) -> dict:
+                    serving_reps, exact_reps, schedule_spec: str | None = None,
+                    cache_interval: int | None = None,
+                    cache_levels: int | None = None,
+                    cfg_interval_str: str | None = None,
+                    flops_source: str | None = None) -> dict:
     """The machine-readable-honest bench record (VERDICT r2 weak #3, r3 task
     7): the headline `value` is the serving mode, so the JSON itself carries
     the mode label, the exact-reference-trajectory numbers, the resolved
@@ -390,11 +471,19 @@ def assemble_record(*, imgs_per_sec: float, exact_ips: float, baseline: float,
     baseline_realistic = baseline * (A100_TF32_FLOPS / A100_BF16_FLOPS)
 
     # quality certificate for the RESOLVED config (resolve_serving may have
-    # fallen back from a failing schedule spec)
-    r_spec = CACHE_SCHEDULE if "cache_schedule" in serving else ""
-    r_cfg = CFG_INTERVAL if "cfg_interval" in serving else ""
-    r_interval = 0 if r_spec else serving.get("cache_interval", CACHE_INTERVAL)
-    cert = quality_certificate(r_spec, r_interval, CACHE_LEVELS, r_cfg)
+    # fallen back from a failing schedule spec). The requested specs arrive as
+    # explicit arguments (ADVICE r4: do not re-read module globals — callers
+    # like tests pass non-global specs through resolve_serving); the None
+    # defaults keep old call sites working by falling back to the env globals.
+    schedule_spec = CACHE_SCHEDULE if schedule_spec is None else schedule_spec
+    cache_interval = CACHE_INTERVAL if cache_interval is None else cache_interval
+    cache_levels = CACHE_LEVELS if cache_levels is None else cache_levels
+    cfg_interval_str = (CFG_INTERVAL if cfg_interval_str is None
+                        else cfg_interval_str)
+    r_spec = schedule_spec if "cache_schedule" in serving else ""
+    r_cfg = cfg_interval_str if "cfg_interval" in serving else ""
+    r_interval = 0 if r_spec else serving.get("cache_interval", cache_interval)
+    cert = quality_certificate(r_spec, r_interval, cache_levels, r_cfg)
 
     return {
         "metric": "256x256 DDIM-50 CFG sampling throughput",
@@ -410,6 +499,9 @@ def assemble_record(*, imgs_per_sec: float, exact_ips: float, baseline: float,
         "refresh_positions": [int(p) for p in serving["cache_schedule"]]
                              if "cache_schedule" in serving else None,
         "calibration": calibration,
+        # provenance of the analytic-baseline FLOPs (committed sidecar /
+        # computed-this-run / hand estimate)
+        "flops_source": flops_source,
         **cert,
         # all timing rounds (best-of wins the headline): the tunnel's
         # one-sided host jitter makes single rounds untrustworthy
