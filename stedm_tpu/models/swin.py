@@ -66,12 +66,23 @@ def _shift_attn_mask(h: int, w: int, win: int, shift: int) -> np.ndarray:
 
 
 class WindowAttentionV2(nn.Module):
-    """Cosine attention over local windows with continuous relative position bias."""
+    """Cosine attention over local windows with continuous relative position bias.
+
+    ``remat_core=True`` (default) rematerializes the logits->softmax->weighted
+    -sum core under `jax.checkpoint`: the fp32 [B*win, heads, T, T] logits and
+    softmax tensors — the largest training-memory temps in the whole flagship
+    step, at 2.0x T(8,128) lane-padding expansion since T=64 (the batch-32 OOM
+    dump names them; VERDICT r4 task 2a) — are recomputed in the backward pass
+    instead of stored. Recompute cost is just the two 64-token matmuls plus a
+    softmax (the qkv/proj Denses stay OUTSIDE the checkpoint), numerics are
+    bit-identical, and inference is untouched (checkpoint is a no-op without
+    grad)."""
 
     dim: int
     num_heads: int
     window: int
     dtype: Dtype = jnp.float32
+    remat_core: bool = True
 
     @nn.compact
     def __call__(self, xw: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -97,8 +108,6 @@ class WindowAttentionV2(nn.Module):
         logit_scale = self.param("logit_scale",
                                  nn.initializers.constant(math.log(10.0)), (heads, 1, 1))
         scale = jnp.exp(jnp.minimum(logit_scale, math.log(100.0)))
-        logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
-                            preferred_element_type=jnp.float32) * scale
 
         # continuous relative position bias (CPB MLP: 2 -> 512 -> heads)
         table = jnp.asarray(_relative_coords_table(self.window))
@@ -108,16 +117,22 @@ class WindowAttentionV2(nn.Module):
         idx = jnp.asarray(_relative_position_index(self.window)).reshape(-1)
         bias = bias_table[idx].reshape(t, t, heads).transpose(2, 0, 1)
         bias = 16.0 * nn.sigmoid(bias)
-        logits = logits + bias[None]
 
-        if mask is not None:
-            n_windows = mask.shape[0]
-            logits = logits.reshape(bt // n_windows, n_windows, heads, t, t)
-            logits = logits + mask[None, :, None]
-            logits = logits.reshape(bt, heads, t, t)
+        def attn_core(q, k, v, scale, bias):
+            logits = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            logits = logits + bias[None]
+            if mask is not None:  # static [nW, T, T] numpy-derived constant
+                n_windows = mask.shape[0]
+                logits = logits.reshape(bt // n_windows, n_windows, heads, t, t)
+                logits = logits + mask[None, :, None]
+                logits = logits.reshape(bt, heads, t, t)
+            weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            return jnp.einsum("bhts,bhsd->bhtd", weights, v)
 
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhts,bhsd->bhtd", weights, v)
+        if self.remat_core:
+            attn_core = jax.checkpoint(attn_core)
+        out = attn_core(q, k, v, scale, bias)
         out = out.transpose(0, 2, 1, 3).reshape(bt, t, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -142,6 +157,7 @@ class SwinBlockV2(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -157,6 +173,7 @@ class SwinBlockV2(nn.Module):
             mask = jnp.asarray(_shift_attn_mask(h, w, win, shift))
         xw = _window_partition(x, win)
         attn = WindowAttentionV2(self.dim, self.num_heads, win, dtype=self.dtype,
+                                 remat_core=self.remat_attn,
                                  name="attn")(xw, mask)
         x = _window_reverse(attn, win, b, h, w)
         if shift:
@@ -201,6 +218,7 @@ class SwinV2(nn.Module):
     num_classes: int = 512
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    remat_attn: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -213,7 +231,8 @@ class SwinV2(nn.Module):
             for i in range(depth):
                 shift = 0 if i % 2 == 0 else self.window // 2
                 x = SwinBlockV2(dim, heads, self.window, shift, self.mlp_ratio,
-                                dtype=self.dtype, name=f"stage{stage}_block{i}")(x)
+                                dtype=self.dtype, remat_attn=self.remat_attn,
+                                name=f"stage{stage}_block{i}")(x)
             if stage != len(self.depths) - 1:
                 x = PatchMergingV2(dtype=self.dtype, name=f"merge{stage}")(x)
                 dim *= 2
@@ -222,6 +241,7 @@ class SwinV2(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
 
 
-def swin_v2_tiny(num_classes: int = 512, dtype: Dtype = jnp.float32) -> SwinV2:
+def swin_v2_tiny(num_classes: int = 512, dtype: Dtype = jnp.float32,
+                 remat_attn: bool = True) -> SwinV2:
     """The reference's style backbone config (s_zss_dm.py:19-20)."""
-    return SwinV2(num_classes=num_classes, dtype=dtype)
+    return SwinV2(num_classes=num_classes, dtype=dtype, remat_attn=remat_attn)

@@ -31,12 +31,22 @@ def scaled_lr(base_lr: float, batch_base: int, batch_mul: int, n_devices: int,
 def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
                    accumulate_grad_batches: int = 1,
                    weight_decay: float = 0.01,
-                   clip_grad_norm: float | None = None) -> optax.GradientTransformation:
+                   clip_grad_norm: float | None = None,
+                   fused: bool = True,
+                   m_dtype=None) -> optax.GradientTransformation:
     """AdamW over trainable groups; frozen groups get zero updates.
 
     Expects the STEDM param tree's top-level keys: unet / cond_stage / agg /
     first_stage. ``clip_grad_norm`` adds global-norm clipping (off by default —
     the reference has none).
+
+    ``fused=True`` (default) runs the update as ONE flat-buffer pass
+    (`train/fused_adamw.py`) instead of per-leaf optax stages — numerically
+    identical to `optax.adamw` (parity-tested), measured on the v5e terminal
+    against the ~320 ms/step per-leaf apply (BASELINE.md round-4/5 training
+    tables). ``fused=False`` restores stock optax. ``m_dtype`` optionally
+    stores the first moment in bf16 (second moment stays fp32 — see
+    fused_adamw.py for why bf16 `v` silently stops updating).
     """
 
     from stedm_tpu.models.stedm import FROZEN_PARAM_GROUPS
@@ -52,7 +62,12 @@ def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
                 labels[key] = "train"
         return labels
 
-    inner = optax.adamw(lr, weight_decay=weight_decay)
+    if fused:
+        from stedm_tpu.train.fused_adamw import fused_adamw
+
+        inner = fused_adamw(lr, weight_decay=weight_decay, m_dtype=m_dtype)
+    else:
+        inner = optax.adamw(lr, weight_decay=weight_decay)
     if clip_grad_norm:
         inner = optax.chain(optax.clip_by_global_norm(clip_grad_norm), inner)
     tx = optax.multi_transform(

@@ -175,3 +175,30 @@ def test_swin_importer_forward_parity():
     with torch.no_grad():
         out_t = tm(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
     np.testing.assert_allclose(out_j, out_t, rtol=5e-4, atol=5e-4)
+
+
+def test_remat_attn_is_value_and_grad_identical():
+    """remat_attn (VERDICT r4 task 2a) is a pure memory optimization: the
+    checkpointed attention core must produce identical outputs AND identical
+    parameter gradients — it only changes what the backward pass stores."""
+    model_r = SwinV2(patch_size=4, embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+                     window=4, num_classes=8, remat_attn=True)
+    model_s = model_r.clone(remat_attn=False)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 16, 16, 3)),
+                    jnp.float32)
+    params = model_r.init(jax.random.PRNGKey(1), x)["params"]
+
+    out_r = model_r.apply({"params": params}, x)
+    out_s = model_s.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_s),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    g_r = jax.grad(loss(model_r))(params)
+    g_s = jax.grad(loss(model_s))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

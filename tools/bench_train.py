@@ -39,6 +39,15 @@ def main() -> None:
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize U-Net ResBlocks under grad "
                          "(unet.use_checkpoint) — trades FLOPs for HBM")
+    ap.add_argument("--optax_adamw", action="store_true",
+                    help="A/B: stock per-leaf optax.adamw instead of the "
+                         "flat-buffer fused AdamW (train/fused_adamw.py)")
+    ap.add_argument("--m_bf16", action="store_true",
+                    help="store the fused AdamW first moment in bf16")
+    ap.add_argument("--no_swin_remat", action="store_true",
+                    help="A/B: store the swin window-attention fp32 "
+                         "logits/softmax residuals instead of rematerializing "
+                         "them (the pre-round-5 behavior)")
     ap.add_argument("--no_cost", action="store_true",
                     help="skip the XLA cost analysis (saves one AOT lowering)")
     ap.add_argument("--loader", choices=["flowers", "her2"],
@@ -55,7 +64,8 @@ def main() -> None:
 
     ps.PATCH = args.patch
     ps.BATCH = args.batch
-    model = ps.build_model(use_checkpoint=args.remat)
+    model = ps.build_model(use_checkpoint=args.remat,
+                           swin_remat_attn=not args.no_swin_remat)
     params = ps.shape_init_params(model)
     print(f"backend: {jax.devices()[0]}; params ready", file=sys.stderr)
 
@@ -64,7 +74,9 @@ def main() -> None:
     from stedm_tpu.train.steps import create_train_state, make_train_step
 
     schedule = DiffusionSchedule.create("linear", 1000, 0.0015, 0.0205)
-    tx = make_optimizer(1e-4, accumulate_grad_batches=args.accum)
+    tx = make_optimizer(1e-4, accumulate_grad_batches=args.accum,
+                        fused=not args.optax_adamw,
+                        m_dtype=jnp.bfloat16 if args.m_bf16 else None)
     state = create_train_state(params, tx)
     step = jax.jit(make_train_step(model, schedule, tx), donate_argnums=(0,))
 
@@ -157,6 +169,9 @@ def main() -> None:
         "ms_per_step": round(1e3 * dt / args.iters, 1),
         "accum": args.accum,
         "remat": bool(args.remat),
+        "optimizer": ("optax_adamw" if args.optax_adamw else
+                      "fused_adamw" + ("_m_bf16" if args.m_bf16 else "")),
+        "swin_remat": not args.no_swin_remat,
         "input": args.loader or "device-resident",
     }
     if flops_per_step:

@@ -43,7 +43,8 @@ PATCH = 256
 V5E_BF16_PEAK = 197e12  # TPU v5e dense bf16 peak FLOP/s
 
 
-def build_model(dtype=jnp.bfloat16, use_checkpoint: bool = False):
+def build_model(dtype=jnp.bfloat16, use_checkpoint: bool = False,
+                swin_remat_attn: bool = True):
     from stedm_tpu.models.stedm import STEDM
 
     return STEDM(
@@ -60,6 +61,7 @@ def build_model(dtype=jnp.bfloat16, use_checkpoint: bool = False):
         style_sampling="nearby",
         patch_size=PATCH,
         dtype=dtype,
+        swin_remat_attn=swin_remat_attn,
     )
 
 
