@@ -503,7 +503,7 @@ class DPMSolver:
         therefore CRASHES ("too many values to unpack") whenever
         `lower_order_final` drops an order-3 multistep run to order 2 with a
         3-entry history — i.e. any order-3 multistep sample() with steps<15
-        (pinned by tests/test_dpm_full.py::test_reference_lower_order_final_crash);
+        (pinned by tests/test_dpm_full.py::test_reference_lower_order_final_crash_documented_deviation);
         upstream DPM-Solver slices, as we do."""
         if solver_type not in ("dpm_solver", "taylor"):
             raise ValueError(f"'solver_type' must be either 'dpm_solver' or "

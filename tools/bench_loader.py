@@ -158,8 +158,11 @@ def time_loader(dm, batches: int, seed: int = 0, h2d: bool = False):
         import jax
 
         t0 = time.perf_counter()
-        for b in got:
-            arrs = [jax.device_put(np.asarray(a)) for a in b[:4]]
+        # keep EVERY batch's device arrays alive and block on all of them —
+        # blocking only on the last batch lets earlier transfers still be in
+        # flight when the clock stops (optimistic rate), and dropping their
+        # arrays can even let the runtime cancel them (ADVICE r4)
+        arrs = [jax.device_put(np.asarray(a)) for b in got for a in b[:4]]
         jax.block_until_ready(arrs)
         h2d_rate = n / (time.perf_counter() - t0)
     return rate, bsz, h2d_rate

@@ -49,8 +49,16 @@ def build_tiny(patch: int = 32, ch: int = 32):
     )
 
 
-def make_batch(rng: np.random.Generator, patch: int = 32, b: int = 8):
-    """Structured data: random fg blob, fg/bg base colors + texture noise."""
+def make_batch(rng: np.random.Generator, patch: int = 32, b: int = 8,
+               style_drop: float = 0.0):
+    """Structured data: random fg blob, fg/bg base colors + texture noise.
+
+    ``style_drop`` replicates the reference's train-time CFG augmentation
+    (flowers_ds.py:62-66): each sample's style set is replaced by the constant
+    -2 fill with that probability, so the UNCOND signature is in-distribution
+    and the model actually learns a cond/uncond difference — without it the
+    tiny pricing model ignores guidance entirely and window pricing has zero
+    power (VERDICT r4 weak #3: 117 dB 'identical trajectories')."""
     import jax.numpy as jnp
 
     seg = np.zeros((b, patch, patch, 2), np.float32)
@@ -66,13 +74,17 @@ def make_batch(rng: np.random.Generator, patch: int = 32, b: int = 8):
         fg, bg = rng.uniform(-0.8, 0.8, (2, 3))
         img[i] = np.where(m[..., None], fg, bg)
         img[i] += rng.normal(0, 0.08, (patch, patch, 3))
-    style = np.repeat(img[:, None], 1, axis=1)
+    style = np.repeat(np.clip(img, -1, 1)[:, None], 1, axis=1)
+    if style_drop:
+        dropped = rng.uniform(size=b) < style_drop
+        style = np.where(dropped[:, None, None, None, None], -2.0, style)
     return {"image": jnp.asarray(np.clip(img, -1, 1)),
             "segmentation": jnp.asarray(seg),
-            "style_imgs": jnp.asarray(np.clip(style, -1, 1))}
+            "style_imgs": jnp.asarray(style)}
 
 
-def train_tiny(model, steps: int, patch: int = 32, log=print):
+def train_tiny(model, steps: int, patch: int = 32, log=print,
+               style_drop: float = 0.0):
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +103,8 @@ def train_tiny(model, steps: int, patch: int = 32, log=print):
     step = jax.jit(make_train_step(model, schedule, tx))
     key = jax.random.PRNGKey(1)
     for i in range(steps):
-        state, metrics = step(state, make_batch(rng_np, patch), key)
+        state, metrics = step(state, make_batch(rng_np, patch,
+                                                style_drop=style_drop), key)
         if i % 100 == 0 or i == steps - 1:
             log(f"step {i}: loss {float(metrics['loss']):.4f}")
     return state, schedule
@@ -100,17 +113,19 @@ def train_tiny(model, steps: int, patch: int = 32, log=print):
 def generate_set(model, schedule, params, *, interval: int = 1, n: int,
                  patch: int = 32, ddim_steps: int = 50, batch: int = 8,
                  seed: int = 1000, positions=None,
-                 cfg_interval=None) -> np.ndarray:
+                 cfg_interval=None, cfg_scale: float = 1.5) -> np.ndarray:
     """n sampled images in [-1,1] float32, fresh held-out layouts per batch.
     Same layout/noise seeds across intervals so per-pixel deltas are paired.
     ``positions`` (refresh schedule, core/cache_schedule.py) overrides
     ``interval`` for non-uniform serving-mode placement; ``cfg_interval``
-    restricts guidance to a (lo_frac, hi_frac) window (arXiv 2404.07724)."""
+    restricts guidance to a (lo_frac, hi_frac) window (arXiv 2404.07724);
+    ``cfg_scale`` amplifies the cond/uncond difference (1.0 disables CFG —
+    used by the probe's own power check)."""
     import jax
 
     from stedm_tpu.train.steps import SamplerConfig, make_sample_fn
 
-    cfg = SamplerConfig(ddim_steps=ddim_steps, eta=0.0, cfg_scale=1.5,
+    cfg = SamplerConfig(ddim_steps=ddim_steps, eta=0.0, cfg_scale=cfg_scale,
                         rescale_phi=0.7, batched_cfg=True, downsample=4,
                         cache_interval=1 if positions is not None else interval,
                         cache_schedule=(tuple(positions)
@@ -152,13 +167,22 @@ def fid_rp(a: np.ndarray, b: np.ndarray, patch: int = 64,
 def evaluate(model, schedule, params, *, intervals, patch: int = 32,
              ddim_steps: int = 50, fid_samples: int = 256,
              schedules: dict | None = None, cfg_intervals=None,
+             cfg_scale: float = 1.5, power_check: bool = False,
              log=print) -> dict:
     """Per-interval quality table vs the exact trajectory: paired PSNR/rel-RMS
     plus set-level FID_rp against the real distribution (interval 1 = exact).
     ``schedules`` maps extra labels to explicit refresh-position tuples
-    (non-uniform serving mode) priced the same way."""
+    (non-uniform serving mode) priced the same way.
+
+    ``power_check=True`` adds an 'unguided' row — the SAME seeds sampled with
+    CFG off entirely (cfg_scale 1.0) — quantifying how much guidance moves
+    this model's trajectories at all. A guidance-window price is only
+    meaningful when this row shows a real deviation (low PSNR / nonzero
+    rel-RMS); VERDICT r4 weak #3 found the old protocol's window rows at
+    117 dB BECAUSE the unguided row would have been ~identical too."""
     exact = generate_set(model, schedule, params, interval=1, n=fid_samples,
-                         patch=patch, ddim_steps=ddim_steps)
+                         patch=patch, ddim_steps=ddim_steps,
+                         cfg_scale=cfg_scale)
     real = real_set(fid_samples, patch)
     # key 0: the metric's own noise floor — FID_rp between two fresh draws of
     # the REAL distribution; deltas below this are not resolvable
@@ -167,8 +191,8 @@ def evaluate(model, schedule, params, *, intervals, patch: int = 32,
                1: {"psnr_db": float("inf"), "rel_rms": 0.0,
                    "fid_rp": fid_rp(real, exact)}}
     log(f"same-distribution noise floor: FID_rp {floor:.4f}")
-    log(f"interval=1 (exact): FID_rp {results[1]['fid_rp']:.4f} "
-        f"({fid_samples} samples vs real)")
+    log(f"interval=1 (exact, cfg_scale {cfg_scale}): "
+        f"FID_rp {results[1]['fid_rp']:.4f} ({fid_samples} samples vs real)")
     def _price(label, cached):
         mse = float(np.mean((cached - exact) ** 2))
         psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
@@ -180,33 +204,50 @@ def evaluate(model, schedule, params, *, intervals, patch: int = 32,
         log(f"{label}: PSNR {psnr:.1f} dB, rel-RMS {rel:.4f}, "
             f"FID_rp {fid:.4f} (exact: {results[1]['fid_rp']:.4f}; "
             f"cached-vs-exact {fid_vs_exact:.4f}) "
-            f"[trained tiny model, DDIM-{ddim_steps} CFG]")
+            f"[trained tiny model, DDIM-{ddim_steps} CFG {cfg_scale}]")
+
+    if power_check:
+        _price("unguided", generate_set(model, schedule, params, n=fid_samples,
+                                        patch=patch, ddim_steps=ddim_steps,
+                                        cfg_scale=1.0))
+        p = results["unguided"]["psnr_db"]
+        if p > 60.0:
+            log(f"WARNING: PROBE POWERLESS — guidance moves trajectories by "
+                f"only {p:.1f} dB PSNR; window prices below cannot detect "
+                f"harm. Train longer / raise --style_drop / --cfg_scale.")
+        else:
+            log(f"probe power: guided-vs-unguided {p:.1f} dB PSNR, "
+                f"fid_rp_vs_exact {results['unguided']['fid_rp_vs_exact']:.4f}"
+                f" — window prices are resolvable against this")
 
     for interval in intervals:
         _price(interval, generate_set(model, schedule, params,
                                       interval=interval, n=fid_samples,
-                                      patch=patch, ddim_steps=ddim_steps))
+                                      patch=patch, ddim_steps=ddim_steps,
+                                      cfg_scale=cfg_scale))
     for label, positions in (schedules or {}).items():
         _price(label, generate_set(model, schedule, params, n=fid_samples,
                                    patch=patch, ddim_steps=ddim_steps,
-                                   positions=positions))
+                                   positions=positions, cfg_scale=cfg_scale))
     for lo, hi in (cfg_intervals or []):
         # (a) guidance interval alone (exact cache) and (b) composed with the
         # serving default cache_interval=3 — both priced like the cache knobs
         _price(f"cfgint {lo}:{hi}",
                generate_set(model, schedule, params, n=fid_samples, patch=patch,
-                            ddim_steps=ddim_steps, cfg_interval=(lo, hi)))
+                            ddim_steps=ddim_steps, cfg_interval=(lo, hi),
+                            cfg_scale=cfg_scale))
         _price(f"cfgint {lo}:{hi} + interval 3",
                generate_set(model, schedule, params, n=fid_samples, patch=patch,
                             ddim_steps=ddim_steps, interval=3,
-                            cfg_interval=(lo, hi)))
+                            cfg_interval=(lo, hi), cfg_scale=cfg_scale))
         # (c) composed with each scheduled placement — the serving frontier
         # combines BOTH levers, so the headline point needs its own pricing
         for label, positions in (schedules or {}).items():
             _price(f"cfgint {lo}:{hi} + {label}",
                    generate_set(model, schedule, params, n=fid_samples,
                                 patch=patch, ddim_steps=ddim_steps,
-                                positions=positions, cfg_interval=(lo, hi)))
+                                positions=positions, cfg_interval=(lo, hi),
+                                cfg_scale=cfg_scale))
     return results
 
 
@@ -225,6 +266,20 @@ def main() -> None:
                          "core/cache_schedule.py specs (e.g. auto:10 quad:13 "
                          "uniform:5); auto:R calibrates drift on the trained "
                          "tiny model")
+    ap.add_argument("--cfg_scale", type=float, default=1.5,
+                    help="guidance scale for every priced set (the bench "
+                         "serving config runs 1.5; higher values amplify the "
+                         "cond/uncond difference for a stricter window test)")
+    ap.add_argument("--style_drop", type=float, default=0.0,
+                    help="train-time style-drop probability (reference "
+                         "flowers_ds.py:62-66) — without it the tiny model "
+                         "never sees the uncond signature and guidance "
+                         "pricing has no power (default 0 reproduces the "
+                         "round-3/4 protocol)")
+    ap.add_argument("--power_check", action="store_true",
+                    help="add an 'unguided' (cfg off) row quantifying how "
+                         "much guidance moves this model at all — window "
+                         "prices are only meaningful when this deviates")
     args = ap.parse_args()
 
     import os
@@ -239,7 +294,8 @@ def main() -> None:
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     model = build_tiny()
-    state, schedule = train_tiny(model, args.steps, log=log)
+    state, schedule = train_tiny(model, args.steps, log=log,
+                                 style_drop=args.style_drop)
 
     schedules = {}
     if args.schedules:
@@ -277,7 +333,8 @@ def main() -> None:
     results = evaluate(model, schedule, state.params,
                        intervals=args.intervals, ddim_steps=args.ddim_steps,
                        fid_samples=args.fid_samples, schedules=schedules,
-                       cfg_intervals=cfg_is)
+                       cfg_intervals=cfg_is, cfg_scale=args.cfg_scale,
+                       power_check=args.power_check)
     import json
 
     print(json.dumps({str(k): {m: (round(v, 4) if np.isfinite(v) else None)
