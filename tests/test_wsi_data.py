@@ -63,6 +63,33 @@ def test_wsi_sample_levels_and_alpha_fill():
     assert crop[0, 0, 0] == 255
 
 
+def test_wsi_sample_async_matches_sync():
+    """wsi_sample_async (VERDICT r4 task 5: per-sample reads through the C++
+    pool) must return byte-identical patches to wsi_sample, on both the native
+    -pool path and the synchronous fallback."""
+    from stedm_tpu.data.wsi import wsi_sample_async
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    slide = ArraySlide(base, levels=3)
+    for p_size, b_scale, pos in [(16, 2, (32, 40)), (8, 8, (32, 32)),
+                                 (16, 2, (0, 0)), (12, 1, (90, 90))]:
+        want = wsi_sample(slide, (3, 5), p_size, b_scale, pos)
+        got = wsi_sample_async(slide, (3, 5), p_size, b_scale, pos).get()
+        np.testing.assert_array_equal(got, want)
+
+    # fallback path: force the pool away
+    import stedm_tpu.data.wsi as wsi_mod
+    import stedm_tpu.data.native_pipeline as npipe
+    orig = npipe.global_pipeline
+    npipe.global_pipeline = lambda: None
+    try:
+        got = wsi_sample_async(slide, (3, 5), 16, 2, (32, 40)).get()
+    finally:
+        npipe.global_pipeline = orig
+    np.testing.assert_array_equal(got, wsi_sample(slide, (3, 5), 16, 2, (32, 40)))
+
+
 def test_patch_handler_roundtrip():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (100, 130, 3), dtype=np.uint8)
