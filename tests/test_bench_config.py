@@ -236,6 +236,39 @@ def test_committed_bench_assets_exist_and_load():
     assert ent["eps_flops"] > 1e12 and ent["dec_flops"] > 1e11
 
 
+def test_priced_table_matches_records():
+    """Staleness guard (VERDICT r4 task 6): every PRICED_FID_RP certificate
+    entry must be backed 1:1 by a record in the pricing ledger
+    (tools/bench_assets/pricing_records.json), and records that carry a raw
+    pricing-run artifact must match that artifact's fid_rp_vs_exact row —
+    editing the table, the protocol, or the artifacts out of sync fails."""
+    import json as _json
+
+    assets = Path(bench._ASSETS_DIR)
+    with open(assets / "pricing_records.json") as f:
+        ledger = _json.load(f)["records"]
+    rec_by_key = {}
+    for rec in ledger:
+        key = (rec["key"][0], int(rec["key"][1]), rec["key"][2])
+        assert key not in rec_by_key, f"duplicate ledger record for {key}"
+        rec_by_key[key] = rec
+    assert set(rec_by_key) == set(bench.PRICED_FID_RP), (
+        "table/ledger key mismatch: "
+        f"{set(rec_by_key) ^ set(bench.PRICED_FID_RP)}")
+    for key, fid in bench.PRICED_FID_RP.items():
+        rec = rec_by_key[key]
+        assert rec["fid_rp"] == pytest.approx(fid, abs=1e-9), key
+        assert rec["source"], key
+        if "artifact" in rec:
+            with open(assets / "pricing" / rec["artifact"]) as f:
+                art = _json.load(f)
+            row = art[rec["artifact_key"]]
+            assert row["fid_rp_vs_exact"] == pytest.approx(fid, abs=1e-9), (
+                f"{key}: table says {fid}, artifact "
+                f"{rec['artifact']}[{rec['artifact_key']}] says "
+                f"{row['fid_rp_vs_exact']}")
+
+
 def test_assembled_record_schema():
     # the durable JSON record must be self-contained: mode + exact numbers,
     # both baseline bounds, resolved placement + calibration provenance, the
