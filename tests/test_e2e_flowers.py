@@ -183,6 +183,22 @@ def test_train_and_predict_entry_points(flowers_dir, tmp_path, monkeypatch):
     carry_dir = flowers_dir / "syn_data" / "flowers_carry"
     assert len(list(carry_dir.glob("img_*.png"))) >= 2
 
+    # THE CERTIFIED SERVING CONFIG, exactly as docs/MIGRATION.md step 4 ships
+    # it (VERDICT r4 task 7): calibrated auto:5 refresh schedule composed with
+    # the 0.3:0.7 guidance window, end-to-end through predict_diff.py,
+    # producing img/seg pairs (tiny scale; ddim_steps=8 so 5 refreshes fit)
+    pd.main(overrides + [
+        "data.samples=1", "ddim_steps=8", "cfg_scale=1.5",
+        "+cache_schedule=auto:5", "+cfg_interval=[0.3,0.7]",
+        "+predict_name=flowers_serving",
+    ])
+    serving_dir = flowers_dir / "syn_data" / "flowers_serving"
+    serving_imgs = sorted(serving_dir.glob("img_*.png"))
+    serving_segs = sorted(serving_dir.glob("seg_*.png"))
+    assert len(serving_imgs) >= 2 and len(serving_segs) == len(serving_imgs)
+    arr = np.array(Image.open(serving_imgs[0]))
+    assert arr.shape == (32, 32, 3) and arr.std() > 0
+
     # +compact_transfer: conditioning H2D'd as uint8 class indices + f16 style
     # (for slow-transfer terminals). The layout path is lossless — seg PNGs must
     # be byte-identical to the baseline run over the same deterministic loader

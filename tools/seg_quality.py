@@ -148,12 +148,21 @@ def run_experiment(*, diff_steps: int = 400, syn_samples: int = 256,
                    seg_steps: int = 400, seeds: int = 3, patch: int = 32,
                    ddim_steps: int = 50, schedule_spec: str = "auto:5",
                    cfg_interval=(0.2, 0.8), real_train: int = 64,
-                   val_samples: int = 128, log=print) -> dict:
-    """Full experiment; returns {mix: {metric: [per-seed values]}} + config."""
+                   val_samples: int = 128, log=print, style_drop: float = 0.0,
+                   extra_configs=None) -> dict:
+    """Full experiment; returns {mix: {metric: [per-seed values]}} + config.
+
+    ``extra_configs``: additional serving points priced against the SAME
+    trained generator / exact set / real sets, as (schedule_spec,
+    cfg_interval) tuples — VERDICT r4 task 4 asks for >=2 priced configs and
+    the generator training dominates the runtime, so they share one.
+    ``style_drop`` trains the generator with the reference's CFG augmentation
+    (uncond signature in-distribution — the same upgrade the FID probe got)."""
     import jax
 
     model = build_tiny(patch)
-    state, schedule = train_tiny(model, diff_steps, patch, log=log)
+    state, schedule = train_tiny(model, diff_steps, patch, log=log,
+                                 style_drop=style_drop)
 
     # resolve the serving schedule on THIS trained model (same machinery the
     # bench uses: drift calibration + DP placement)
@@ -163,8 +172,9 @@ def run_experiment(*, diff_steps: int = 400, syn_samples: int = 256,
     from stedm_tpu.train.steps import SamplerConfig
 
     n_steps = DDIMParams.create(schedule, ddim_steps, 0.0).num_steps
+    all_configs = [(schedule_spec, cfg_interval)] + list(extra_configs or [])
     drift = None
-    if schedule_spec.startswith("auto"):
+    if any(spec.startswith("auto") for spec, _ in all_configs):
         calib_cfg = SamplerConfig(ddim_steps=ddim_steps, eta=0.0,
                                   cfg_scale=1.5, rescale_phi=0.7,
                                   batched_cfg=True, downsample=4)
@@ -173,18 +183,19 @@ def run_experiment(*, diff_steps: int = 400, syn_samples: int = 256,
                        if k != "image"}
         drift = measure_cache_drift(model, schedule, calib_cfg, state.params,
                                     calib_batch, jax.random.PRNGKey(77))
-    positions = positions_from_spec(schedule_spec, n_steps, drift)
-    log(f"serving schedule {schedule_spec}: refresh positions "
-        f"{list(positions)}, cfg window {cfg_interval}")
+    resolved = []
+    for spec, ci in all_configs:
+        pos = positions_from_spec(spec, n_steps, drift) if spec else None
+        log(f"serving schedule {spec or '(cache off)'}: refresh positions "
+            f"{list(pos) if pos is not None else None}, cfg window {ci}")
+        resolved.append((spec, ci, pos))
+    positions = resolved[0][2] if resolved[0][2] is not None else ()
 
-    log(f"generating {syn_samples}-sample synthetic sets (exact + cached)...")
+    log(f"generating {syn_samples}-sample synthetic sets (exact + "
+        f"{len(resolved)} cached)...")
     exact_imgs, exact_segs = generate_labeled_set(
         model, schedule, state.params, n=syn_samples, patch=patch,
         ddim_steps=ddim_steps)
-    cached_imgs, cached_segs = generate_labeled_set(
-        model, schedule, state.params, n=syn_samples, patch=patch,
-        ddim_steps=ddim_steps, positions=positions, cfg_interval=cfg_interval)
-    assert np.array_equal(exact_segs, cached_segs)  # paired layouts
 
     real_imgs, real_segs = real_labeled_set(real_train, patch)
     val_imgs, val_segs = real_labeled_set(val_samples, patch, seed=9000)
@@ -193,9 +204,17 @@ def run_experiment(*, diff_steps: int = 400, syn_samples: int = 256,
         "real_only": (real_imgs, real_segs),
         "real+exact_syn": (np.concatenate([real_imgs, exact_imgs]),
                            np.concatenate([real_segs, exact_segs])),
-        "real+cached_syn": (np.concatenate([real_imgs, cached_imgs]),
-                            np.concatenate([real_segs, cached_segs])),
     }
+    for i, (spec, ci, pos) in enumerate(resolved):
+        ci_t = tuple(ci) if ci else None
+        c_imgs, c_segs = generate_labeled_set(
+            model, schedule, state.params, n=syn_samples, patch=patch,
+            ddim_steps=ddim_steps, positions=pos, cfg_interval=ci_t)
+        assert np.array_equal(exact_segs, c_segs)  # paired layouts
+        label = ("real+cached_syn" if i == 0 else
+                 f"real+cached_syn[{spec}|{ci[0]}:{ci[1]}]")
+        mixes[label] = (np.concatenate([real_imgs, c_imgs]),
+                        np.concatenate([real_segs, c_segs]))
     results = {}
     for mix, (ti, ts) in mixes.items():
         per_seed = {"iou_bg": [], "iou_fg": [], "miou": []}
@@ -211,13 +230,34 @@ def run_experiment(*, diff_steps: int = 400, syn_samples: int = 256,
             f"+/- {np.std(per_seed['iou_fg']):.4f}, "
             f"mIoU {np.mean(per_seed['miou']):.4f} "
             f"+/- {np.std(per_seed['miou']):.4f}  [{seeds} seeds]")
+    # Welch t-test of each cached mix against the exact mix (the acceptance
+    # comparison): with >=8 seeds this has actual power, unlike the round-4
+    # n=3 run where 'within seed noise' was mostly noise (VERDICT r4 weak #5)
+    welch = {}
+    try:
+        from scipy.stats import ttest_ind
+
+        ref = results["real+exact_syn"]["miou"]
+        for mix, r in results.items():
+            if mix.startswith("real+cached_syn"):
+                t = ttest_ind(ref, r["miou"], equal_var=False)
+                welch[mix] = {"t": round(float(t.statistic), 3),
+                              "p": round(float(t.pvalue), 4)}
+                log(f"Welch vs exact mix — {mix}: t={t.statistic:.3f} "
+                    f"p={t.pvalue:.4f} (n={seeds})")
+    except Exception as e:  # scipy always in-image; belt and braces
+        log(f"welch unavailable: {e!r}")
     return {
         "config": {"diff_steps": diff_steps, "syn_samples": syn_samples,
                    "seg_steps": seg_steps, "seeds": seeds,
                    "ddim_steps": ddim_steps, "schedule": schedule_spec,
                    "refresh_positions": [int(p) for p in positions],
-                   "cfg_interval": list(cfg_interval)},
+                   "cfg_interval": list(cfg_interval),
+                   "style_drop": style_drop,
+                   "extra_configs": [[s, list(c)] for s, c in
+                                     (extra_configs or [])]},
         "results": results,
+        "welch_vs_exact": welch,
         "summary": {mix: {"iou_fg_mean": round(float(np.mean(r["iou_fg"])), 4),
                           "iou_fg_std": round(float(np.std(r["iou_fg"])), 4),
                           "miou_mean": round(float(np.mean(r["miou"])), 4),
@@ -237,6 +277,13 @@ def main() -> None:
     ap.add_argument("--schedule", default="auto:5",
                     help="serving refresh schedule (bench default auto:5)")
     ap.add_argument("--cfg_interval", default="0.2:0.8")
+    ap.add_argument("--style_drop", type=float, default=0.0,
+                    help="generator train-time style-drop probability "
+                         "(reference flowers_ds.py:62-66)")
+    ap.add_argument("--extra_configs", nargs="*", default=[],
+                    help="additional serving configs priced against the same "
+                         "generator, as SCHEDULE|LO:HI specs "
+                         "(e.g. 'auto:8|0.3:0.7' '|0.3:0.7' for window-only)")
     args = ap.parse_args()
 
     import os
@@ -251,11 +298,17 @@ def main() -> None:
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     lo, _, hi = args.cfg_interval.partition(":")
+    extras = []
+    for spec in args.extra_configs:
+        sched, _, window = spec.partition("|")
+        wlo, _, whi = window.partition(":")
+        extras.append((sched, (float(wlo), float(whi))))
     out = run_experiment(diff_steps=args.steps, syn_samples=args.syn_samples,
                          seg_steps=args.seg_steps, seeds=args.seeds,
                          ddim_steps=args.ddim_steps,
                          schedule_spec=args.schedule,
-                         cfg_interval=(float(lo), float(hi)), log=log)
+                         cfg_interval=(float(lo), float(hi)), log=log,
+                         style_drop=args.style_drop, extra_configs=extras)
     print(json.dumps(out))
 
 
