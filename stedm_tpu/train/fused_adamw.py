@@ -1,14 +1,23 @@
 """Flat-buffer fused AdamW: the whole update is ONE elementwise pass.
 
-Why (VERDICT r4 task 2b, BASELINE.md round-4 training table): the stock
-`optax.adamw` apply over the flagship's ~500-leaf / 318M-param tree costs
-~320 ms/step on the v5e terminal (measured by the accum1/accum4 delta) —
-~15x more than the actual HBM traffic justifies. The cost is per-leaf
-overhead: every leaf becomes its own fused loop over a small, tile-padded
-buffer, and several optax stages materialize intermediate trees. Flattening
-the trainable leaves into one contiguous 1-D buffer turns the apply into a
-single XLA fusion over ~1 GB — two extra passes for the gather/scatter
-(concat the grads, split the updates) buy back hundreds of per-leaf kernels.
+**MEASURED NEGATIVE on TPU — off by default** (BASELINE.md round-5 training
+table, v5e via tunnel): at 512^2/accum 4 the flat apply ran 8.87 vs stock
+optax's 20.79 samples/s, and the donated accum-1 variant blew past a 50-min
+remote compile. The hypothesis (kill ~500 per-leaf kernels, ~320 ms/step by
+the round-4 accum1/accum4 delta) ignored that every leaf lives in a tiled
+TPU layout: `ravel`+`concatenate` into a 1-D buffer forces a relayout pass
+per leaf per apply — on this runtime that costs far more than the per-leaf
+kernel overhead it removes, and the 500-slice/concat graph with donation
+explodes XLA's buffer assignment. Kept (with its parity tests) as the
+documented dead end, like ops/gn_silu.py: revisit only on a runtime where
+relayouts are cheap or XLA concatenates lazily.
+
+The original rationale (VERDICT r4 task 2b, BASELINE.md round-4 table): the
+stock `optax.adamw` apply over the flagship's ~500-leaf / 318M-param tree
+costs ~320 ms on the v5e terminal — ~15x more than the actual HBM traffic
+justifies — so one fusion over ~1 GB looked like it would buy back hundreds
+of per-leaf kernels for two extra passes (concat the grads, split the
+updates).
 
 Semantics match `optax.adamw(lr, b1, b2, eps, weight_decay)` exactly when the
 moment dtypes are fp32 (parity-tested against optax in

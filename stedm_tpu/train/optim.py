@@ -32,7 +32,7 @@ def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
                    accumulate_grad_batches: int = 1,
                    weight_decay: float = 0.01,
                    clip_grad_norm: float | None = None,
-                   fused: bool = True,
+                   fused: bool = False,
                    m_dtype=None) -> optax.GradientTransformation:
     """AdamW over trainable groups; frozen groups get zero updates.
 
@@ -40,12 +40,15 @@ def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
     first_stage. ``clip_grad_norm`` adds global-norm clipping (off by default —
     the reference has none).
 
-    ``fused=True`` (default) runs the update as ONE flat-buffer pass
-    (`train/fused_adamw.py`) instead of per-leaf optax stages — numerically
-    identical to `optax.adamw` (parity-tested), measured on the v5e terminal
-    against the ~320 ms/step per-leaf apply (BASELINE.md round-4/5 training
-    tables). ``fused=False`` restores stock optax. ``m_dtype`` optionally
-    stores the first moment in bf16 (second moment stays fp32 — see
+    ``fused=True`` swaps in the flat-buffer fused AdamW
+    (`train/fused_adamw.py`) — numerically identical to `optax.adamw`
+    (parity-tested) and a MEASURED NEGATIVE on the v5e terminal (BASELINE.md
+    round-5 training table: 8.87 vs 20.79 samples/s at accum 4 — flattening
+    ~500 tile-layouted leaves into one 1-D buffer forces a relayout pass per
+    apply, and the donated accum-1 variant blew past a 50-min remote
+    compile). Kept off by default, like ops/gn_silu.py; the flag remains for
+    CPU experiments and future runtimes. ``m_dtype`` optionally stores the
+    fused first moment in bf16 (second moment stays fp32 — see
     fused_adamw.py for why bf16 `v` silently stops updating).
     """
 
@@ -67,7 +70,10 @@ def make_optimizer(lr: float, *, style_encoder_trainable: bool = True,
 
         inner = fused_adamw(lr, weight_decay=weight_decay, m_dtype=m_dtype)
     else:
-        inner = optax.adamw(lr, weight_decay=weight_decay)
+        # m_dtype maps to optax's mu_dtype: bf16 FIRST moment storage in the
+        # native per-leaf layout (no relayout cost; second moment stays fp32
+        # — see fused_adamw.py for why bf16 `nu` is a trap)
+        inner = optax.adamw(lr, weight_decay=weight_decay, mu_dtype=m_dtype)
     if clip_grad_norm:
         inner = optax.chain(optax.clip_by_global_norm(clip_grad_norm), inner)
     tx = optax.multi_transform(

@@ -1,10 +1,12 @@
 """Parity tests: the flat-buffer fused AdamW must match stock optax.adamw.
 
 The fused optimizer (stedm_tpu/train/fused_adamw.py, VERDICT r4 task 2b) is
-the default `make_optimizer` inner transform — these tests pin that it is a
-pure performance change: identical updates (fp32 moments), identical frozen
--group behavior under multi_transform, identical accumulation under
-MultiSteps, and a bounded deviation for the bf16 first-moment option.
+an opt-in `make_optimizer` inner transform — a measured NEGATIVE on the v5e
+TPU (see its module docstring / BASELINE.md round-5), kept like gn_silu with
+its correctness pinned: identical updates to optax.adamw (fp32 moments),
+identical frozen-group behavior under multi_transform, identical
+accumulation under MultiSteps, and a bounded deviation for the bf16
+first-moment option.
 """
 
 from __future__ import annotations

@@ -43,7 +43,9 @@ def main() -> None:
                     help="A/B: stock per-leaf optax.adamw instead of the "
                          "flat-buffer fused AdamW (train/fused_adamw.py)")
     ap.add_argument("--m_bf16", action="store_true",
-                    help="store the fused AdamW first moment in bf16")
+                    help="store the AdamW first moment in bf16 (optax "
+                         "mu_dtype on the default path; fused m_dtype with "
+                         "--no --optax_adamw)")
     ap.add_argument("--no_swin_remat", action="store_true",
                     help="A/B: store the swin window-attention fp32 "
                          "logits/softmax residuals instead of rematerializing "

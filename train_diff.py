@@ -154,10 +154,15 @@ def main(argv: list[str]) -> None:
 
         params = init_logvar(params, cfg.diffusion.timesteps, logvar_init)
 
+    # `+fused_adamw=true` opts into the flat-buffer fused AdamW — a measured
+    # NEGATIVE on the v5e terminal (BASELINE.md round-5: relayout cost per
+    # apply); kept as an experiment flag. Its opt_state layout differs, so
+    # checkpoints are not interchangeable across the flag.
     tx = make_optimizer(
         lr, style_encoder_trainable=cfg.diffusion.get("style_encoder_trainable", True),
         accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4),
-        clip_grad_norm=cfg.get("clip_grad_norm"))
+        clip_grad_norm=cfg.get("clip_grad_norm"),
+        fused=bool(cfg.get("fused_adamw", False)))
     state = create_train_state(params, tx)
 
     # preemption-safe resume (SURVEY.md §5.3: deterministic sampling + frequent
