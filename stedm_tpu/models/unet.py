@@ -129,10 +129,17 @@ class UNet(nn.Module):
     def _attn(self, ch: int, name: str):
         heads, dim_head = self._heads(ch)
         if self.use_spatial_transformer:
-            return SpatialTransformer(heads=heads, dim_head=dim_head,
-                                      depth=self.transformer_depth,
-                                      dropout=self.dropout, dtype=self.dtype, name=name)
-        return AttentionBlock(num_heads=heads, dtype=self.dtype, name=name)
+            cls = (nn.remat(SpatialTransformer)
+                   if self.use_checkpoint else SpatialTransformer)
+            return cls(heads=heads, dim_head=dim_head,
+                       depth=self.transformer_depth,
+                       dropout=self.dropout, dtype=self.dtype, name=name)
+        # the reference's use_checkpoint wraps AttentionBlock._forward too
+        # (openaimodel.py:359-361) — and its fp32 [B, H, T, T] logits/softmax
+        # residuals are the largest batch-32 training temps once the swin
+        # windows are rematerialized (round-5 OOM dump: f32[32,8,1024,1024])
+        cls = nn.remat(AttentionBlock) if self.use_checkpoint else AttentionBlock
+        return cls(num_heads=heads, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
