@@ -158,11 +158,17 @@ def main(argv: list[str]) -> None:
     # NEGATIVE on the v5e terminal (BASELINE.md round-5: relayout cost per
     # apply); kept as an experiment flag. Its opt_state layout differs, so
     # checkpoints are not interchangeable across the flag.
+    # `+adamw_m_bf16=true`: bf16 first-moment storage (optax mu_dtype) — the
+    # best measured training config on v5e (BASELINE.md round-5: 21.47
+    # samples/s, 49.1% MFU, +6.4% over fp32 moments). Off by default: the
+    # reference's torch AdamW keeps fp32 moments, so the parity default does
+    # too. Second moment always stays fp32 (see train/fused_adamw.py).
     tx = make_optimizer(
         lr, style_encoder_trainable=cfg.diffusion.get("style_encoder_trainable", True),
         accumulate_grad_batches=cfg.get("accumulate_grad_batches", 4),
         clip_grad_norm=cfg.get("clip_grad_norm"),
-        fused=bool(cfg.get("fused_adamw", False)))
+        fused=bool(cfg.get("fused_adamw", False)),
+        m_dtype=jnp.bfloat16 if cfg.get("adamw_m_bf16") else None)
     state = create_train_state(params, tx)
 
     # preemption-safe resume (SURVEY.md §5.3: deterministic sampling + frequent
