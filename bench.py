@@ -11,9 +11,9 @@ The headline number uses the framework's serving mode: cross-step deep-feature
 reuse (DeepCache-style) with drift-calibrated non-uniform refresh placement
 (`cache_schedule=auto:5` — per-step trunk drift is measured on THIS model at
 bench time and 5 refreshes are placed by exact DP, `core/cache_schedule.py`)
-composed with a guidance window (`cfg_interval=(0.3, 0.7)`, arXiv 2404.07724 —
-CFG only on the middle 40% of the trajectory; outside it the uncond half of the
-shared-encoder fan-out is skipped). Both knobs are priced at the distribution
+composed with a guidance window (`cfg_interval=(0.35, 0.65)`, arXiv 2404.07724
+— CFG only on the middle 30% of the trajectory; outside it the uncond half of
+the shared-encoder fan-out is skipped). Both knobs are priced at the distribution
 level on a trained model (BASELINE.md round-3 tables: cached-vs-exact FID_rp
 ~100x below the metric's same-distribution noise floor, for the composed
 configuration too). Same task, same model, same step count as the reference
@@ -88,11 +88,15 @@ CACHE_SCHEDULE = os.environ.get("STEDM_BENCH_SCHEDULE", "auto:5")
 # guidance interval (arXiv 2404.07724, core/ddim.py:ddim_sample_guided), e.g.
 # "0:0.6": CFG only on that fraction of the trajectory; outside it the uncond
 # half of the shared-encoder fan-out is skipped. Empty = guide every step
-# (the reference behavior). Composes with the cache knobs above; the 0.3:0.7
-# default is priced on the trained tiny model (BASELINE.md round-4: composed
-# with auto:5 its cached-vs-exact FID_rp is 0.0007, 6.7x under budget, and it
-# beat the round-3 0.2:0.8 window 38.73 vs 37.14 img/s solo under the flock).
-CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "0.3:0.7")
+# (the reference behavior). Composes with the cache knobs above. The
+# 0.35:0.65 default (middle 30% guided) measured 41.54 img/s solo (round 4,
+# priced composed FID_rp 0.0008 — 5.8x under budget) and was confirmed by the
+# round-5 POWERED probe (style-drop-trained pricing model, cfg_scale 4.0,
+# with a guided-vs-unguided power row bounding the total guidance effect at
+# 53.6 dB / FID_rp 0.0000 — any window's harm is bounded by that; composed
+# 0.35:0.65 and 0.3:0.7 price identically at 0.0009). BASELINE.md round-5;
+# artifact tools/bench_assets/pricing/r5_power_cfg4_styledrop.json.
+CFG_INTERVAL = os.environ.get("STEDM_BENCH_CFG_INTERVAL", "0.35:0.65")
 # host-sampler steps per dispatched block. Swept on-chip (2026-08-17):
 # unroll 10 / batch 8 won — exact 7.97 img/s, serving 18.05 (unroll 5:
 # 7.94/17.97; batch 16: 7.77/17.87 — compute-bound beyond batch 8).
