@@ -80,10 +80,10 @@ CACHE_LEVELS = int(os.environ.get("STEDM_BENCH_LEVELS", 1))
 # "uniform:5", "0,3,8,...", or "auto:R" to calibrate drift on this model);
 # empty = uniform every CACHE_INTERVAL steps. Default auto:5 — the certified
 # frontier schedule (BASELINE.md: 37.29 img/s composed with the 0.2:0.8 window
-# in round 3; 38.73 img/s with the round-4 0.3:0.7 window below — both priced,
-# trained-model cached-vs-exact FID_rp ≥1 order of magnitude below the
-# metric's same-distribution noise floor). Falls back to
-# uniform CACHE_INTERVAL if calibration fails.
+# in round 3; 38.73 with the round-4 0.3:0.7 window; 41.54 with the round-5
+# 0.35:0.65 default below — all priced, trained-model cached-vs-exact FID_rp
+# ≥1 order of magnitude below the metric's same-distribution noise floor).
+# Falls back to uniform CACHE_INTERVAL if calibration fails.
 CACHE_SCHEDULE = os.environ.get("STEDM_BENCH_SCHEDULE", "auto:5")
 # guidance interval (arXiv 2404.07724, core/ddim.py:ddim_sample_guided), e.g.
 # "0:0.6": CFG only on that fraction of the trajectory; outside it the uncond
