@@ -39,13 +39,21 @@ class AttentionBlock(nn.Module):
     ``reshape(bs*heads, 3*dh, T).split(dh)`` (openaimodel.py:378-394), which a torch
     checkpoint importer must preserve. Scale is ``1/sqrt(sqrt(dh))`` applied to both
     q and k (openaimodel.py:388).
+
+    ``attn_impl`` selects the SDPA realization (ops/blocked_attention.py):
+    ``exact`` keeps the reference's full [T, T] logits; ``chunked``/``flash``/
+    ``auto`` bound the attention working set for large T (the 512^2 batch-32
+    OOM lever) without touching the qkv/proj parameter layout.
     """
 
     num_heads: int = 8
     dtype: Dtype = jnp.float32
+    attn_impl: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from stedm_tpu.ops.blocked_attention import sdpa as blocked_sdpa
+
         b, h, w, c = x.shape
         heads = self.num_heads
         dh = c // heads
@@ -54,7 +62,8 @@ class AttentionBlock(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xs)
         qkv = qkv.reshape(b, h * w, heads, 3, dh).transpose(0, 2, 3, 1, 4)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = _sdpa(q, k, v, scale=1.0 / jnp.sqrt(jnp.sqrt(dh)).astype(jnp.float32))
+        out = blocked_sdpa(q, k, v, 1.0 / jnp.sqrt(jnp.sqrt(dh)).astype(jnp.float32),
+                           impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj_out",
                        kernel_init=nn.initializers.zeros_init())(out)

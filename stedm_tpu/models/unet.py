@@ -119,6 +119,10 @@ class UNet(nn.Module):
                                        # per-block activation checkpointing
                                        # (openaimodel.py:263-265; trades FLOPs
                                        # for HBM via jax.checkpoint)
+    attn_impl: str = "exact"           # AttentionBlock SDPA realization:
+                                       # exact | chunked | flash | auto
+                                       # (ops/blocked_attention.py — the
+                                       # batch-32 [T,T]-logits OOM lever)
     dtype: Dtype = jnp.float32
 
     def _heads(self, ch: int) -> tuple[int, int]:
@@ -139,7 +143,8 @@ class UNet(nn.Module):
         # residuals are the largest batch-32 training temps once the swin
         # windows are rematerialized (round-5 OOM dump: f32[32,8,1024,1024])
         cls = nn.remat(AttentionBlock) if self.use_checkpoint else AttentionBlock
-        return cls(num_heads=heads, dtype=self.dtype, name=name)
+        return cls(num_heads=heads, dtype=self.dtype, attn_impl=self.attn_impl,
+                   name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,

@@ -46,6 +46,11 @@ def main() -> None:
                     help="store the AdamW first moment in bf16 (optax "
                          "mu_dtype on the default path; fused m_dtype with "
                          "--no --optax_adamw)")
+    ap.add_argument("--attn", default="exact",
+                    choices=["exact", "chunked", "flash", "auto"],
+                    help="bottleneck AttentionBlock SDPA realization "
+                         "(ops/blocked_attention.py) — flash = stock Pallas "
+                         "TPU kernel, chunked = checkpointed query-chunk scan")
     ap.add_argument("--no_swin_remat", action="store_true",
                     help="A/B: store the swin window-attention fp32 "
                          "logits/softmax residuals instead of rematerializing "
@@ -67,7 +72,8 @@ def main() -> None:
     ps.PATCH = args.patch
     ps.BATCH = args.batch
     model = ps.build_model(use_checkpoint=args.remat,
-                           swin_remat_attn=not args.no_swin_remat)
+                           swin_remat_attn=not args.no_swin_remat,
+                           attn_impl=args.attn)
     params = ps.shape_init_params(model)
     print(f"backend: {jax.devices()[0]}; params ready", file=sys.stderr)
 
@@ -174,6 +180,7 @@ def main() -> None:
         "optimizer": ("optax_adamw" if args.optax_adamw else
                       "fused_adamw" + ("_m_bf16" if args.m_bf16 else "")),
         "swin_remat": not args.no_swin_remat,
+        "attn_impl": args.attn,
         "input": args.loader or "device-resident",
     }
     if flops_per_step:

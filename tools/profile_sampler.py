@@ -44,14 +44,14 @@ V5E_BF16_PEAK = 197e12  # TPU v5e dense bf16 peak FLOP/s
 
 
 def build_model(dtype=jnp.bfloat16, use_checkpoint: bool = False,
-                swin_remat_attn: bool = True):
+                swin_remat_attn: bool = True, attn_impl: str = "exact"):
     from stedm_tpu.models.stedm import STEDM
 
     return STEDM(
         unet_config=dict(in_channels=6, out_channels=3, model_channels=128,
                          num_res_blocks=2, channel_mult=(1, 4, 8), num_heads=8,
                          attention_resolutions=(32, 16, 8),
-                         use_checkpoint=use_checkpoint),
+                         use_checkpoint=use_checkpoint, attn_impl=attn_impl),
         first_stage_config=dict(embed_dim=3, n_embed=8192, ddconfig=dict(
             double_z=False, z_channels=3, resolution=PATCH, in_channels=3, out_ch=3,
             ch=128, ch_mult=[1, 2, 4], num_res_blocks=2, attn_resolutions=[],
