@@ -62,8 +62,10 @@ class AttentionBlock(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xs)
         qkv = qkv.reshape(b, h * w, heads, 3, dh).transpose(0, 2, 3, 1, 4)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = blocked_sdpa(q, k, v, 1.0 / jnp.sqrt(jnp.sqrt(dh)).astype(jnp.float32),
-                           impl=self.attn_impl)
+        # python-float scale (CrossAttention precedent): the flash kernel needs
+        # a static sm_scale; _exact re-promotes it to an f32 scalar so the
+        # parity path's bf16->f32 q/k promotion semantics are unchanged.
+        out = blocked_sdpa(q, k, v, float(dh) ** -0.25, impl=self.attn_impl)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj_out",
                        kernel_init=nn.initializers.zeros_init())(out)

@@ -72,7 +72,12 @@ def chunked_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _exact(q, k, v, scale):
     """Reference-ordered math: scale q and k separately, fp32 softmax
-    (openaimodel.py:388-391) — shared with models/attention.py's exact path."""
+    (openaimodel.py:388-391) — shared with models/attention.py's exact path.
+
+    ``scale`` may be a python float (AttentionBlock passes one so the flash
+    kernel gets a static ``sm_scale``); promoting it to an f32 scalar here
+    keeps the historical bf16->f32 q/k promotion of the parity path."""
+    scale = jnp.asarray(scale, jnp.float32)
     logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k * scale,
                         preferred_element_type=jnp.float32)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
